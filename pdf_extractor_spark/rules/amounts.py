@@ -1,0 +1,95 @@
+"""Amount rules R4 (cleaning) and R5 (sign normalization) — SURVEY.md §2.4.
+
+Reference semantics:
+  R4 clean  -> bofa_bank_parser.py:77-79, wellsfargo_mastercard_parser.py:588-589,
+               capitalone_csv_parser.py:119-120
+  R5 sign   -> data_transformation.py:31-83 (Decimal hop at :51-56),
+               parsers_core/base.py:7-16
+Float formatting for canonical output reproduces the reference's
+``float(Decimal(str(x)))`` + Python ``repr`` path (SURVEY.md §4 determinism #2).
+"""
+
+from __future__ import annotations
+
+import re
+from decimal import Decimal, InvalidOperation
+
+_AMOUNT_JUNK = re.compile(r"[$,]")
+_PARENS = re.compile(r"^\((.*)\)$")
+
+# keyword classes from data_transformation.py:31-49
+CHARGE_KEYWORDS = ("debit", "charge", "withdrawal", "purchase")
+CREDIT_KEYWORDS = ("credit", "payment", "deposit", "income")
+
+
+def clean_amount(raw: str | float | int | None) -> float | None:
+    """R4: strip ``$``/``,``, parenthesized -> negative, unparseable -> None.
+
+    (bofa_bank_parser.py:77-79; parenthesized-negative is the standard
+    accounting convention the reference's ``errors='coerce'`` path flattens
+    to 0.0 — callers that need the 0.0 behaviour use ``clean_amount_or_zero``.)
+    """
+    if raw is None:
+        return None
+    if isinstance(raw, (int, float)):
+        return float(raw)
+    s = raw.strip()
+    if not s:
+        return None
+    neg = False
+    m = _PARENS.match(s)
+    if m:
+        neg, s = True, m.group(1)
+    s = _AMOUNT_JUNK.sub("", s).strip()
+    try:
+        v = float(Decimal(s))
+    except (InvalidOperation, ValueError):
+        return None
+    return -v if neg else v
+
+
+def clean_amount_or_zero(raw: str | float | int | None) -> float:
+    """R4 with coerce->0.0 (capitalone_csv_parser.py:119-120)."""
+    v = clean_amount(raw)
+    return 0.0 if v is None else v
+
+
+def normalize_sign(
+    amount: float | None,
+    transaction_type: str | None,
+    *,
+    is_charge_positive: bool = False,
+) -> float:
+    """R5: charges negative, credits positive (data_transformation.py:31-83).
+
+    - ``transaction_type`` containing a charge keyword and amount>0 -> negate
+    - containing a credit keyword and amount<0 -> negate
+    - inverted sources (``is_charge_positive=True``, e.g. Apple Card /
+      Capital One, data_transformation.py:71-75) -> unconditional negate
+    - None -> 0.0
+    Uses a Decimal hop for exactness like data_transformation.py:51-56.
+    """
+    if amount is None:
+        return 0.0
+    d = Decimal(str(amount))
+    if is_charge_positive:
+        d = -d
+        return float(d)
+    ttype = (transaction_type or "").lower()
+    if any(k in ttype for k in CHARGE_KEYWORDS) and d > 0:
+        d = -d
+    elif any(k in ttype for k in CREDIT_KEYWORDS) and d < 0:
+        d = -d
+    return float(d)
+
+
+def format_amount(v: float | None) -> str:
+    """Canonical amount rendering: Python ``repr`` of the Decimal-hopped float.
+
+    This is the byte-parity formatting path (SURVEY.md §4 determinism #2):
+    the SAME Python code runs in the oracle and inside the pandas UDF, so the
+    string is identical on both sides. Never Spark's ``format_number``.
+    """
+    if v is None:
+        return ""
+    return repr(float(Decimal(str(v))))

@@ -1,0 +1,157 @@
+"""Date rules R7-R11 and R24 — SURVEY.md §2.4.
+
+Reference semantics:
+  R7  multi-format coalescing parse -> normalize_api.py:188-215,
+      transaction_normalizer.py:67-113, wellsfargo_visa_parser.py:401-412
+  R8  Dec/Jan year-boundary repair  -> chase_visa_parser.py:101-110,
+      bofa_visa_parser.py:27-53
+  R9  statement-period extraction   -> utils/utils.py:142-262,
+      first_republic_bank_parser.py:51-170
+  R10 date-from-filename            -> utils/utils.py:129-139
+  R24 INTEREST CREDIT date rule     -> transaction_normalizer.py:67-93,
+      config.py:367-381
+All output dates are ISO-8601 strings ``YYYY-MM-DD`` (models.py:11-13 keeps
+dates as strings, never date objects).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+
+_MMDD = re.compile(r"^(\d{1,2})/(\d{1,2})$")
+_MMDDYY = re.compile(r"^(\d{1,2})/(\d{1,2})/(\d{2})$")
+_MMDDYYYY = re.compile(r"^(\d{1,2})/(\d{1,2})/(\d{4})$")
+_ISO = re.compile(r"^(\d{4})-(\d{2})-(\d{2})$")
+_MONTH_NAME = re.compile(r"^([A-Z][a-z]+) (\d{1,2}), (\d{4})$")
+_FILENAME_8 = re.compile(r"(\d{8})")
+
+_MONTHS = {
+    m: i + 1
+    for i, m in enumerate(
+        (
+            "January", "February", "March", "April", "May", "June",
+            "July", "August", "September", "October", "November", "December",
+        )
+    )
+}
+
+# Statement-period regex ladder (ordered; utils/utils.py:142-262 fallbacks)
+STATEMENT_PERIOD_PATTERNS: list[re.Pattern[str]] = [
+    re.compile(
+        r"Statement Period:?\s+(\d{2}/\d{2}/\d{4})\s+to\s+(\d{2}/\d{2}/\d{4})"
+    ),
+    re.compile(
+        r"Statement Period:?\s*([A-Z][a-z]+ \d{1,2}, \d{4})\s*-\s*"
+        r"([A-Z][a-z]+ \d{1,2}, \d{4})"
+    ),
+    re.compile(
+        r"([A-Z][a-z]+ \d{1,2}, \d{4})\s*through\s*([A-Z][a-z]+ \d{1,2}, \d{4})"
+    ),
+]
+_CLOSING_DATE = re.compile(r"Statement Closing Date[:\s]+(\d{2}/\d{2}/\d{4})")
+
+
+def _safe_date(y: int, m: int, d: int) -> str | None:
+    try:
+        return _dt.date(y, m, d).isoformat()
+    except ValueError:
+        return None
+
+
+def widen_two_digit_year(y: int) -> int:
+    """R9 tail: 2-digit-year widening ``y<100 -> +2000`` (utils/utils.py:255-258)."""
+    return y + 2000 if y < 100 else y
+
+
+def parse_date(raw: str | None, statement_year: int | None = None) -> str | None:
+    """R7: coalescing format ladder -> ISO string, or None.
+
+    Order (normalize_api.py:188-215 + transaction_normalizer.py:67-113):
+      1. %Y-%m-%d   2. MM/DD/YYYY   3. MM/DD/YY (widened)
+      4. MM/DD + statement_year     5. '%B %d, %Y' month-name
+    Invalid calendar dates (02/30) -> None.
+    """
+    if raw is None:
+        return None
+    s = raw.strip()
+    if not s:
+        return None
+    m = _ISO.match(s)
+    if m:
+        return _safe_date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
+    m = _MMDDYYYY.match(s)
+    if m:
+        return _safe_date(int(m.group(3)), int(m.group(1)), int(m.group(2)))
+    m = _MMDDYY.match(s)
+    if m:
+        return _safe_date(
+            widen_two_digit_year(int(m.group(3))), int(m.group(1)), int(m.group(2))
+        )
+    m = _MMDD.match(s)
+    if m and statement_year is not None:
+        return _safe_date(statement_year, int(m.group(1)), int(m.group(2)))
+    m = _MONTH_NAME.match(s)
+    if m and m.group(1) in _MONTHS:
+        return _safe_date(int(m.group(3)), _MONTHS[m.group(1)], int(m.group(2)))
+    return None
+
+
+def repair_year_boundary(
+    txn_month: int, txn_day: int, stmt_year: int, stmt_month: int
+) -> str | None:
+    """R8: statement month Jan + txn month Dec -> previous year
+    (chase_visa_parser.py:101-110)."""
+    year = stmt_year - 1 if (stmt_month == 1 and txn_month == 12) else stmt_year
+    return _safe_date(year, txn_month, txn_day)
+
+
+def parse_mmdd_with_statement(
+    raw: str, stmt_year: int, stmt_month: int
+) -> str | None:
+    """R7+R8 combined: ``MM/DD`` fragment dated by the statement with
+    year-boundary repair."""
+    m = _MMDD.match(raw.strip())
+    if not m:
+        return parse_date(raw, statement_year=stmt_year)
+    return repair_year_boundary(int(m.group(1)), int(m.group(2)), stmt_year, stmt_month)
+
+
+def extract_statement_period(text: str) -> tuple[str | None, str | None, str]:
+    """R9: ordered regex ladder over statement text.
+
+    Returns ``(period_start_iso, period_end_iso, source)`` where source is the
+    provenance enum 'content'|'none' (models.py:47-50 uses
+    'content'|'filename'|'last_row')."""
+    for pat in STATEMENT_PERIOD_PATTERNS:
+        m = pat.search(text)
+        if m:
+            start = parse_date(m.group(1))
+            end = parse_date(m.group(2))
+            if start or end:
+                return start, end, "content"
+    m = _CLOSING_DATE.search(text)
+    if m:
+        end = parse_date(m.group(1))
+        if end:
+            return None, end, "content"
+    return None, None, "none"
+
+
+def date_from_filename(name: str) -> str | None:
+    """R10: first ``\\d{8}`` run parsed as YYYYMMDD (utils/utils.py:129-139)."""
+    m = _FILENAME_8.search(name)
+    if not m:
+        return None
+    s = m.group(1)
+    return _safe_date(int(s[0:4]), int(s[4:6]), int(s[6:8]))
+
+
+def interest_credit_date(
+    description: str, normalized_date: str | None, statement_end: str | None
+) -> str | None:
+    """R24: 'INTEREST CREDIT' rows take statement_end_date
+    (transaction_normalizer.py:67-93, config.py:367-381)."""
+    if "INTEREST CREDIT" in (description or "") and statement_end:
+        return statement_end
+    return normalized_date

@@ -1,0 +1,72 @@
+"""S5 content-based format detection — first-match dispatch (SURVEY.md §2.1).
+
+Reference semantics: registry.py:22-36 dispatches to the FIRST parser whose
+``can_parse`` returns True, in registration order; each parser checks marker
+phrases (e.g. wellsfargo_mastercard_parser.py:57-71 looks for
+'"wells fargo" and "account number" and ("business card"|"credit line")').
+
+DETECTION_ORDER is the registration order and is part of the contract
+(SURVEY.md §7.8 #4): tests pin it, and the Spark-side ``when`` chain in
+functions/exprs.py preserves it.
+"""
+
+from __future__ import annotations
+
+import re
+
+_CSV_CAPONE_HEADER = "Transaction Date,Posted Date,Card No.,Description"
+_WF_CHECKING_ROW = re.compile(r"^\d{1,2}/\d{1,2}/\d{4},-?[\d.]+,\*,,", re.MULTILINE)
+
+# (family, predicate) in registration order — first match wins.
+DETECTION_ORDER: tuple[str, ...] = (
+    "wf_mastercard",
+    "wf_visa",
+    "bofa_bank",
+    "first_republic",
+    "chase_checking",
+    "chase_visa",
+    "wf_bank_layout",
+    "amazon_order",
+    "csv_capitalone",
+    "csv_wf_checking",
+    "noisy_desc",
+    "date_edges",
+    "ledger_rows",
+)
+
+
+def detect_family(text: str) -> str:
+    """First-match family detection; 'freeform' when nothing matches.
+
+    Marker phrases mirror the reference's can_parse checks (S5 citations in
+    SURVEY.md §2.1); our synthetic families carry bank-name headers the same
+    way real statements do.
+    """
+    low = text.lower()
+    if "transpostreference number description credits charges" in low:
+        return "wf_mastercard"
+    if "total payments for this period" in low:
+        return "wf_visa"
+    if "deposits and other additions" in low or "withdrawals and other subtractions" in low:
+        return "bofa_bank"
+    if "first republic" in low:
+        return "first_republic"
+    if "checking summary" in low or "*start*" in low:
+        return "chase_checking"
+    if "chase visa" in low:
+        return "chase_visa"
+    if "wells fargo bank" in low:
+        return "wf_bank_layout"
+    if "order placed:" in low:
+        return "amazon_order"
+    if _CSV_CAPONE_HEADER.lower() in low:
+        return "csv_capitalone"
+    if _WF_CHECKING_ROW.search(text):
+        return "csv_wf_checking"
+    if low.startswith("memo "):
+        return "noisy_desc"
+    if "date audit" in low:
+        return "date_edges"
+    if "ledger rows" in low:
+        return "ledger_rows"
+    return "freeform"

@@ -1,0 +1,697 @@
+"""Per-family extraction rules — the reference's parser bodies re-expressed
+as pure functions over a single turn's text (SURVEY.md §2.2, §2.4, FIXTURES.md §3).
+
+Each ``extract_<family>`` cites the reference parser whose regex/state-machine
+semantics it re-implements. A family function returns ``ExtractResult``:
+  records  — ordered TransactionRecord-like tuples with char spans
+  hits     — rule-hit counters (become lineage metrics, SURVEY §2.6 A2)
+  content  — kept content lines for non-record families (main-content path)
+"""
+
+from __future__ import annotations
+
+import re
+from typing import NamedTuple
+
+from . import dates as D
+from . import textnorm as TN
+from .amounts import clean_amount, normalize_sign
+from .boilerplate import is_footer_line, is_section_marker, strip_boilerplate_lines
+from .segment import (
+    Line,
+    assemble_blocks,
+    capture_between,
+    classify_by_space_geometry,
+    split_lines,
+)
+
+
+class Record(NamedTuple):
+    date: str | None  # ISO YYYY-MM-DD
+    amount: float | None  # signed per R5 convention
+    description: str
+    ttype: str | None  # 'charge' | 'credit' | None
+    start: int  # char span in original turn text
+    end: int
+
+
+class ExtractResult(NamedTuple):
+    records: list[Record]
+    hits: dict[str, int]
+    content: list[str] | None  # freeform/main-content lines (already normalized)
+
+
+def _hit(hits: dict[str, int], key: str, n: int = 1) -> None:
+    hits[key] = hits.get(key, 0) + n
+
+
+# --- R1: chase visa (chase_visa_parser.py:50-92) -------------------------
+
+_MMDD_TOKEN = re.compile(r"^\d{2}/\d{2}$")
+_AMOUNT_TOKEN = re.compile(r"^-?[\d,]+\.\d{2}$")
+_CLOSING = re.compile(r"Opening/Closing Date\s+\d{2}/\d{2}/\d{2}\s*-\s*(\d{2}/\d{2}/\d{2})")
+
+
+def extract_chase_visa(text: str) -> ExtractResult:
+    """R1 token match + T3 continuation assembly (chase_visa_parser.py:50-92),
+    R8 year boundary vs the closing date (chase_visa_parser.py:101-110)."""
+    hits: dict[str, int] = {}
+    stmt_year, stmt_month = None, None
+    m = _CLOSING.search(text)
+    if m:
+        iso = D.parse_date(m.group(1))
+        if iso:
+            stmt_year, stmt_month = int(iso[:4]), int(iso[5:7])
+            _hit(hits, "r9_statement_date")
+    records: list[Record] = []
+    cur: list[str] | None = None
+    cur_meta: tuple[str, float, int, int] | None = None
+
+    def flush() -> None:
+        nonlocal cur, cur_meta
+        if cur is None or cur_meta is None:
+            return
+        mmdd, amt, start, end = cur_meta
+        mm, dd = int(mmdd[:2]), int(mmdd[3:5])
+        iso = (
+            D.repair_year_boundary(mm, dd, stmt_year, stmt_month)
+            if stmt_year is not None and stmt_month is not None
+            else None
+        )
+        if iso and stmt_month == 1 and mm == 12:
+            _hit(hits, "r8_year_boundary")
+        desc = TN.normalize_description(" ".join(cur))
+        ttype = "credit" if amt >= 0 else "charge"
+        records.append(Record(iso, amt, desc, ttype, start, end))
+        cur, cur_meta = None, None
+
+    for ln in split_lines(text):
+        toks = ln.text.split()
+        if (
+            len(toks) >= 3
+            and _MMDD_TOKEN.match(toks[0])
+            and _AMOUNT_TOKEN.match(toks[-1])
+        ):
+            flush()
+            amt = clean_amount(toks[-1])
+            cur = [" ".join(toks[1:-1])]
+            cur_meta = (toks[0], amt if amt is not None else 0.0, ln.start, ln.end)
+            _hit(hits, "r1_txn_line")
+        elif cur is not None and not _MMDD_TOKEN.match(toks[0] if toks else ""):
+            cur.append(ln.text)
+            if cur_meta:
+                cur_meta = (*cur_meta[:3], ln.end)
+            _hit(hits, "t3_continuation")
+        else:
+            flush()
+    flush()
+    return ExtractResult(records, hits, None)
+
+
+# --- chase checking (chase_checking.py:84-135) ----------------------------
+
+_STMT_DATE = re.compile(r"Statement Date:\s*(\d{1,2}/\d{1,2}/\d{4}|\d{4}-\d{2}-\d{2})")
+
+
+def extract_chase_checking(text: str) -> ExtractResult:
+    """2-number lines (amount + balance) with section-marker strip
+    (chase_checking.py:84-135); statement date line per :443-455."""
+    hits: dict[str, int] = {}
+    stmt_year = stmt_month = None
+    m = _STMT_DATE.search(text)
+    if m:
+        iso = D.parse_date(m.group(1))
+        if iso:
+            stmt_year, stmt_month = int(iso[:4]), int(iso[5:7])
+            _hit(hits, "r9_statement_date")
+    records: list[Record] = []
+    for ln in split_lines(text):
+        if is_section_marker(ln.text):
+            _hit(hits, "p6_marker_dropped")
+            continue
+        toks = ln.text.split()
+        if (
+            len(toks) >= 4
+            and _MMDD_TOKEN.match(toks[0])
+            and _AMOUNT_TOKEN.match(toks[-1])
+            and _AMOUNT_TOKEN.match(toks[-2])
+        ):
+            amt = clean_amount(toks[-2])
+            mm, dd = int(toks[0][:2]), int(toks[0][3:5])
+            iso = (
+                D.repair_year_boundary(mm, dd, stmt_year, stmt_month)
+                if stmt_year is not None and stmt_month is not None
+                else None
+            )
+            desc = TN.normalize_description(" ".join(toks[1:-2]))
+            ttype = "credit" if (amt or 0) >= 0 else "charge"
+            records.append(Record(iso, amt, desc, ttype, ln.start, ln.end))
+            _hit(hits, "r1_two_amount_line")
+    return ExtractResult(records, hits, None)
+
+
+# --- bofa sections (bofa_bank_parser.py:82-177, 240) ----------------------
+
+_BOFA_SECTIONS = {
+    "Deposits and other additions": "deposits",
+    "Withdrawals and other subtractions": "withdrawals",
+    "Checks": "checks",
+}
+_MMDDYY_TOKEN = re.compile(r"^\d{2}/\d{2}/\d{2}$")
+_CHECK_ROW = re.compile(r"^(\d{2}/\d{2}/\d{2})\s+(\d+)\s+([\d,]+\.\d{2})$")
+
+
+def extract_bofa_bank(text: str) -> ExtractResult:
+    """T2 section state machine + per-section sign (bofa_bank_parser.py:82-177;
+    withdrawal negate at :240; checks table at :122-126)."""
+    hits: dict[str, int] = {}
+    records: list[Record] = []
+    section: str | None = None
+    for ln in split_lines(text):
+        sec_hit = None
+        for marker, tag in _BOFA_SECTIONS.items():
+            if ln.text.startswith(marker):
+                sec_hit = tag
+                break
+        if sec_hit:
+            section = sec_hit
+            _hit(hits, "t2_section_header")
+            continue
+        if section is None:
+            continue
+        if section == "checks":
+            m = _CHECK_ROW.match(ln.text)
+            if m:
+                amt = clean_amount(m.group(3))
+                amt = -amt if amt is not None else None
+                iso = D.parse_date(m.group(1))
+                records.append(
+                    Record(iso, amt, f"CHECK {m.group(2)}", "charge", ln.start, ln.end)
+                )
+                _hit(hits, "r3_check_row")
+            continue
+        toks = ln.text.split()
+        if len(toks) >= 3 and _MMDDYY_TOKEN.match(toks[0]) and _AMOUNT_TOKEN.match(toks[-1]):
+            amt = clean_amount(toks[-1])
+            if section == "withdrawals" and amt is not None:
+                amt = -amt  # bofa_bank_parser.py:240 (amount * -1)
+            iso = D.parse_date(toks[0])
+            desc = TN.normalize_description(" ".join(toks[1:-1]))
+            ttype = "deposit" if section == "deposits" else "withdrawal"
+            amt = normalize_sign(amt, ttype)
+            records.append(Record(iso, amt, desc, ttype, ln.start, ln.end))
+            _hit(hits, f"r3_{section}_row")
+    return ExtractResult(records, hits, None)
+
+
+# --- wells fargo mastercard (wellsfargo_mastercard_parser.py:245-301) -----
+
+_WFMC_HEADER = "TransPostReference Number Description Credits Charges"
+_WFMC_ROW = re.compile(r"^(\d{2}/\d{2})(\d{2}/\d{2})([A-Z0-9]+)\s+(.+?)\s+([\d,]+\.\d{2})$")
+_STMT_PERIOD_MDY = re.compile(
+    r"Statement Period\s+(\d{2}/\d{2}/\d{4})\s+to\s+(\d{2}/\d{2}/\d{4})"
+)
+
+
+def extract_wf_mastercard(text: str) -> ExtractResult:
+    """Header-anchored table + no-space dual-date regex
+    (wellsfargo_mastercard_parser.py:245-255) + R6 payment classification
+    (:286-290) + R5 sign (:592-599) + R8 boundary (:258-285)."""
+    hits: dict[str, int] = {}
+    stmt_year = stmt_month = None
+    m = _STMT_PERIOD_MDY.search(text)
+    if m:
+        iso = D.parse_date(m.group(2))
+        if iso:
+            stmt_year, stmt_month = int(iso[:4]), int(iso[5:7])
+            _hit(hits, "r9_statement_period")
+    records: list[Record] = []
+    in_table = False
+    for ln in split_lines(text):
+        if ln.text.startswith(_WFMC_HEADER):
+            in_table = True
+            _hit(hits, "t2_table_header")
+            continue
+        if not in_table:
+            continue
+        m = _WFMC_ROW.match(ln.text)
+        if not m:
+            continue
+        trans_mmdd, _post, _ref, desc_raw, amt_raw = m.groups()
+        mm, dd = int(trans_mmdd[:2]), int(trans_mmdd[3:5])
+        iso = (
+            D.repair_year_boundary(mm, dd, stmt_year, stmt_month)
+            if stmt_year is not None and stmt_month is not None
+            else None
+        )
+        desc = TN.normalize_description(desc_raw)
+        # R6 (wellsfargo_mastercard_parser.py:286-290)
+        ttype = (
+            "credit"
+            if ("AUTOMATIC PAYMENT" in desc_raw or "ONLINE PAYMENT" in desc_raw)
+            else "charge"
+        )
+        amt = normalize_sign(clean_amount(amt_raw), ttype)
+        records.append(Record(iso, amt, desc, ttype, ln.start, ln.end))
+        _hit(hits, "r2_dual_date_row")
+        if ttype == "credit":
+            _hit(hits, "r6_payment_classified")
+    return ExtractResult(records, hits, None)
+
+
+# --- wells fargo visa (wellsfargo_visa_parser.py:112-193) ------------------
+
+_WFV_PAYMENT = re.compile(
+    r"^(\d{2}/\d{2})\s+(\d{2}/\d{2})\s+([A-Z0-9]+)\s+(.+?)\s+([\d,]+\.\d{2})$"
+)
+_WFV_PURCHASE = re.compile(
+    r"^(\d{4})\s+(\d{2}/\d{2})\s+(\d{2}/\d{2})\s+([A-Z0-9]+)\s+(.+?)\s+([\d,]+\.\d{2})$"
+)
+
+
+def extract_wf_visa(text: str) -> ExtractResult:
+    """Find-based section slicing (wellsfargo_visa_parser.py:117-124) with the
+    payments (:128) and card-prefixed purchases (:163) regexes."""
+    hits: dict[str, int] = {}
+    stmt_year = stmt_month = None
+    m = _STMT_PERIOD_MDY.search(text)
+    if m:
+        iso = D.parse_date(m.group(2))
+        if iso:
+            stmt_year, stmt_month = int(iso[:4]), int(iso[5:7])
+            _hit(hits, "r9_statement_period")
+
+    def _date(mmdd: str) -> str | None:
+        if stmt_year is None or stmt_month is None:
+            return None
+        return D.repair_year_boundary(
+            int(mmdd[:2]), int(mmdd[3:5]), stmt_year, stmt_month
+        )
+
+    records: list[Record] = []
+    pay_text, pay_off = capture_between(text, "Payments", "TOTAL PAYMENTS FOR THIS PERIOD")
+    if pay_off >= 0:
+        _hit(hits, "t2_section_slice")
+        for ln in split_lines(pay_text):
+            mm_ = _WFV_PAYMENT.match(ln.text)
+            if mm_:
+                amt = normalize_sign(clean_amount(mm_.group(5)), "payment")
+                desc = TN.normalize_description(mm_.group(4))
+                records.append(
+                    Record(
+                        _date(mm_.group(1)), amt, desc, "credit",
+                        pay_off + ln.start, pay_off + ln.end,
+                    )
+                )
+                _hit(hits, "r2_payment_row")
+    pur_text, pur_off = capture_between(text, "Purchases", "TOTAL PURCHASES FOR THIS PERIOD")
+    if pur_off >= 0:
+        _hit(hits, "t2_section_slice")
+        for ln in split_lines(pur_text):
+            mm_ = _WFV_PURCHASE.match(ln.text)
+            if mm_:
+                amt = normalize_sign(clean_amount(mm_.group(6)), "purchase")
+                desc = TN.normalize_description(mm_.group(5))
+                records.append(
+                    Record(
+                        _date(mm_.group(2)), amt, desc, "charge",
+                        pur_off + ln.start, pur_off + ln.end,
+                    )
+                )
+                _hit(hits, "r2_purchase_row")
+    records.sort(key=lambda r: r.start)
+    return ExtractResult(records, hits, None)
+
+
+# --- first republic (first_republic_bank_parser.py:51-480) -----------------
+
+_FR_DEBIT = re.compile(r"^(\d{2}/\d{2})\s+(.*?)\s+\$([\d,]+\.\d{2})\s*-$")
+_FR_CREDIT = re.compile(r"^(\d{2}/\d{2})\s+(.*?)\s+\$([\d,]+\.\d{2})$")
+_FR_INTEREST = re.compile(r"^INTEREST CREDIT\s+\$([\d,]+\.\d{2})$")
+_FR_HEADERS = ("Deposits", "Withdrawals", "Checks")
+
+
+def extract_first_republic(text: str) -> ExtractResult:
+    """P6 footer strip (line level, first_republic_bank_parser.py:392-427),
+    trailing-minus debit vs credit rows (:285, :357), continuation-line
+    assembly (:303-308), R24 INTEREST CREDIT statement-end date
+    (:313-315 + transaction_normalizer.py:67-93), R15 artifact strip (:430-432)."""
+    hits: dict[str, int] = {}
+    start_iso, end_iso, _src = D.extract_statement_period(text)
+    if end_iso:
+        _hit(hits, "r9_statement_period")
+    stmt_year = int(end_iso[:4]) if end_iso else None
+    stmt_month = int(end_iso[5:7]) if end_iso else None
+    lines = split_lines(text)
+    kept: list[Line] = []
+    dropped = 0
+    for ln in lines:
+        if is_footer_line(ln.text):
+            dropped += 1
+        else:
+            kept.append(ln)
+    if dropped:
+        _hit(hits, "p6_footer_dropped", dropped)
+
+    records: list[Record] = []
+    sign = 1
+
+    def _date(mmdd: str) -> str | None:
+        if stmt_year is None or stmt_month is None:
+            return None
+        return D.repair_year_boundary(
+            int(mmdd[:2]), int(mmdd[3:5]), stmt_year, stmt_month
+        )
+
+    for ln in kept:
+        if ln.text in _FR_HEADERS:
+            sign = 1 if ln.text == "Deposits" else -1
+            _hit(hits, "t2_section_header")
+            continue
+        m = _FR_INTEREST.match(ln.text)
+        if m:
+            amt = clean_amount(m.group(1))
+            iso = D.interest_credit_date("INTEREST CREDIT", None, end_iso)
+            if iso:
+                _hit(hits, "r24_interest_credit")
+            records.append(Record(iso, amt, "INTEREST CREDIT", "credit", ln.start, ln.end))
+            continue
+        m = _FR_DEBIT.match(ln.text)
+        if m:
+            amt = clean_amount(m.group(3))
+            amt = -amt if amt is not None else None
+            desc = TN.collapse_whitespace(TN.strip_trailing_artifacts(m.group(2)))
+            records.append(Record(_date(m.group(1)), amt, desc, "charge", ln.start, ln.end))
+            _hit(hits, "r3_withdrawal_row")
+            continue
+        m = _FR_CREDIT.match(ln.text)
+        if m:
+            amt = clean_amount(m.group(3))
+            if sign < 0 and amt is not None:
+                amt = -amt
+            desc = TN.collapse_whitespace(TN.strip_trailing_artifacts(m.group(2)))
+            records.append(
+                Record(
+                    _date(m.group(1)), amt, desc,
+                    "credit" if sign > 0 else "charge", ln.start, ln.end,
+                )
+            )
+            _hit(hits, "r3_deposit_row" if sign > 0 else "r3_withdrawal_row")
+            continue
+        # continuation line -> append to previous record's description
+        if records and not is_footer_line(ln.text):
+            prev = records[-1]
+            desc = TN.collapse_whitespace(
+                TN.strip_trailing_artifacts(prev.description + " " + ln.text)
+            )
+            records[-1] = prev._replace(description=desc, end=ln.end)
+            _hit(hits, "t3_continuation")
+    return ExtractResult(records, hits, None)
+
+
+# --- wells fargo bank layout (wellsfargo_bank_parser.py:41-126) -------------
+
+_MD_TOKEN = re.compile(r"^\d{1,2}/\d{1,2}$")
+
+
+def extract_wf_bank_layout(text: str) -> ExtractResult:
+    """T6 whitespace-geometry classification: the width of the space run
+    before the amount encodes the column, hence deposit vs withdrawal
+    (wellsfargo_bank_parser.py:41-126); amount = deposit - withdrawal (:411-416)."""
+    hits: dict[str, int] = {}
+    stmt_year = stmt_month = None
+    m = _STMT_DATE.search(text)
+    if m:
+        iso = D.parse_date(m.group(1))
+        if iso:
+            stmt_year, stmt_month = int(iso[:4]), int(iso[5:7])
+            _hit(hits, "r9_statement_date")
+    records: list[Record] = []
+    for ln in split_lines(text):
+        toks = ln.text.split()
+        if len(toks) < 3 or not _MD_TOKEN.match(toks[0]):
+            continue
+        if not _AMOUNT_TOKEN.match(toks[-1]):
+            continue
+        kind = classify_by_space_geometry(ln.text)
+        if kind is None:
+            continue
+        # two trailing numbers = amount + running balance
+        has_balance = len(toks) >= 4 and _AMOUNT_TOKEN.match(toks[-2])
+        amt_tok = toks[-2] if has_balance else toks[-1]
+        desc_end = -2 if has_balance else -1
+        amt = clean_amount(amt_tok)
+        if kind == "withdrawal" and amt is not None:
+            amt = -amt
+        md = toks[0].split("/")
+        iso = (
+            D.repair_year_boundary(int(md[0]), int(md[1]), stmt_year, stmt_month)
+            if stmt_year is not None and stmt_month is not None
+            else None
+        )
+        desc = TN.normalize_description(" ".join(toks[1:desc_end]))
+        records.append(Record(iso, amt, desc, kind, ln.start, ln.end))
+        _hit(hits, f"t6_{kind}_geometry")
+    return ExtractResult(records, hits, None)
+
+
+# --- amazon order (amazon_parser.py:36-246, amazon_invoice_pdf_parser.py) --
+
+_AMZ_DATE = re.compile(r"(?i)Order Placed: (.*?)\n")
+_AMZ_ITEM_SPLIT = re.compile(r"(?=\d+ of:)")
+_AMZ_QTY = re.compile(r"(\d+) of:\s*(.*)")
+_AMZ_PRICE = re.compile(r"\$([\d,]+\.\d+)")
+_AMZ_GIFT = re.compile(r"Gift Card Amount:-\$(\d+\.\d+)")
+
+
+def extract_amazon_order(text: str) -> ExtractResult:
+    """R16 field regexes + T4/T5 item split between 'Items Ordered' and
+    'Shipping Address:' (amazon_parser.py:135-202, 162-185), R17 price*qty
+    (:331-336); all item charges negative (tests/test_parser_contracts.py:74-82)."""
+    hits: dict[str, int] = {}
+    m = _AMZ_DATE.search(text + "\n")
+    order_date = D.parse_date(m.group(1).strip()) if m else None
+    if order_date:
+        _hit(hits, "r16_order_placed")
+    records: list[Record] = []
+    items_text, items_off = capture_between(text, "Items Ordered", "Shipping Address:")
+    if items_off >= 0:
+        parts = _AMZ_ITEM_SPLIT.split(items_text)
+        pos = 0
+        for part in parts:
+            part_off = items_text.find(part, pos)
+            pos = part_off + len(part)
+            qm = _AMZ_QTY.search(part)
+            if not qm:
+                continue
+            qty = int(qm.group(1))
+            name = TN.collapse_whitespace(qm.group(2))
+            pm = _AMZ_PRICE.search(part)
+            price = clean_amount(pm.group(1)) if pm else None
+            amount = (
+                normalize_sign(round(price * qty, 2), "charge")
+                if price is not None
+                else None
+            )
+            records.append(
+                Record(
+                    order_date, amount, name, "charge",
+                    items_off + part_off, items_off + part_off + len(part.rstrip()),
+                )
+            )
+            _hit(hits, "r16_item")
+            _hit(hits, "r17_price_times_qty")
+    g = _AMZ_GIFT.search(text)
+    if g:
+        amt = clean_amount(g.group(1))
+        records.append(
+            Record(order_date, amt, "Gift Card Amount", "credit", g.start(), g.end())
+        )
+        _hit(hits, "r16_gift_card")
+    return ExtractResult(records, hits, None)
+
+
+# --- capital one CSV (capitalone_csv_parser.py:74-134) ----------------------
+
+_CAPONE_HEADER = "Transaction Date,Posted Date,Card No.,Description,Category,Debit,Credit"
+
+
+def extract_csv_capitalone(text: str) -> ExtractResult:
+    """S4 header-detected CSV; debit -> negative, credit -> positive via
+    np.where (capitalone_csv_parser.py:119-134); coerce->0.0 (:119-120)."""
+    hits: dict[str, int] = {}
+    records: list[Record] = []
+    seen_header = False
+    for ln in split_lines(text):
+        if ln.text.startswith(_CAPONE_HEADER):
+            seen_header = True
+            _hit(hits, "s4_header_detected")
+            continue
+        if not seen_header:
+            continue
+        cols = ln.text.split(",")
+        if len(cols) != 7:
+            continue
+        tdate, _pdate, _card, desc, _cat, debit, credit = cols
+        iso = D.parse_date(tdate)
+        if debit.strip():
+            amt = -abs(clean_amount(debit) or 0.0)
+            ttype = "charge"
+        else:
+            amt = abs(clean_amount(credit) or 0.0)
+            ttype = "credit"
+        records.append(
+            Record(iso, amt, TN.normalize_description(desc), ttype, ln.start, ln.end)
+        )
+        _hit(hits, "r5_debit_credit_combined")
+    return ExtractResult(records, hits, None)
+
+
+# --- wells fargo checking CSV (wellsfargo_checking_csv_parser.py:55-161) ----
+
+_WFCK_ROW = re.compile(r"^(\d{1,2}/\d{1,2}/\d{4}),(-?[\d.]+),\*,(.*?),(.*)$")
+
+
+def extract_csv_wf_checking(text: str) -> ExtractResult:
+    """S4 headerless positional CSV (wellsfargo_checking_csv_parser.py:94-98);
+    R11 statement-date-from-last-row provenance (:119-128)."""
+    hits: dict[str, int] = {}
+    records: list[Record] = []
+    for ln in split_lines(text):
+        m = _WFCK_ROW.match(ln.text)
+        if not m:
+            continue
+        iso = D.parse_date(m.group(1))
+        amt = clean_amount(m.group(2))
+        desc = TN.normalize_description(m.group(4))
+        ttype = "credit" if (amt or 0) >= 0 else "charge"
+        records.append(Record(iso, amt, desc, ttype, ln.start, ln.end))
+        _hit(hits, "s4_positional_row")
+    if records:
+        _hit(hits, "r11_statement_from_last_row")  # provenance: last valid date
+    return ExtractResult(records, hits, None)
+
+
+# --- noisy descriptions (transaction_normalizer.py:381-407) ------------------
+
+
+def extract_noisy_desc(text: str) -> ExtractResult:
+    """R13-R15 + T7 over memo lines: the pure normalization family."""
+    hits: dict[str, int] = {}
+    out: list[str] = []
+    for ln in split_lines(text):
+        s = ln.text
+        if s.startswith("MEMO "):
+            s = s[5:]
+        cleaned = TN.normalize_description(TN.strip_non_printable(s))
+        if cleaned:
+            out.append(cleaned)
+            _hit(hits, "r13_description_normalized")
+    return ExtractResult([], hits, out)
+
+
+# --- date audit rows (normalize_api.py:188-215 date ladder) ------------------
+
+
+def extract_date_edges(text: str) -> ExtractResult:
+    """R7 coalescing ladder + R8 boundary over pipe-delimited audit rows."""
+    hits: dict[str, int] = {}
+    stmt_year = stmt_month = None
+    m = _STMT_DATE.search(text)
+    if m:
+        iso = D.parse_date(m.group(1))
+        if iso:
+            stmt_year, stmt_month = int(iso[:4]), int(iso[5:7])
+            _hit(hits, "r9_statement_date")
+    records: list[Record] = []
+    for ln in split_lines(text):
+        if "|" not in ln.text:
+            continue
+        parts = ln.text.split("|")
+        if len(parts) != 3:
+            continue
+        raw_date, raw_amt, desc = parts
+        if stmt_year is not None and stmt_month is not None and _MMDD_SLASH.match(raw_date.strip()):
+            iso = D.parse_mmdd_with_statement(raw_date.strip(), stmt_year, stmt_month)
+            if iso and stmt_month == 1 and iso[:4] != str(stmt_year):
+                _hit(hits, "r8_year_boundary")
+        else:
+            iso = D.parse_date(raw_date, statement_year=stmt_year)
+        amt = clean_amount(raw_amt)
+        records.append(
+            Record(
+                iso, amt, TN.normalize_description(desc),
+                "credit" if (amt or 0) >= 0 else "charge", ln.start, ln.end,
+            )
+        )
+        _hit(hits, "r7_date_ladder")
+    return ExtractResult(records, hits, None)
+
+
+_MMDD_SLASH = re.compile(r"^\d{1,2}/\d{1,2}$")
+
+
+# --- ledger rows (validity/quarantine P5) ------------------------------------
+
+
+def extract_ledger_rows(text: str) -> ExtractResult:
+    """P5 validity exercise: pipe rows, possibly missing fields
+    (transaction_normalizer.py:41-65 _is_valid_row semantics applied downstream)."""
+    hits: dict[str, int] = {}
+    records: list[Record] = []
+    for ln in split_lines(text):
+        if "|" not in ln.text:
+            continue
+        parts = ln.text.split("|")
+        if len(parts) != 3:
+            continue
+        raw_date, raw_amt, desc = (p.strip() for p in parts)
+        iso = D.parse_date(raw_date)
+        amt = clean_amount(raw_amt)
+        records.append(
+            Record(
+                iso, amt, TN.normalize_description(desc),
+                None, ln.start, ln.end,
+            )
+        )
+        _hit(hits, "p5_row_checked")
+    return ExtractResult(records, hits, None)
+
+
+# --- freeform main-content path ----------------------------------------------
+
+
+def extract_freeform(text: str) -> ExtractResult:
+    """Main-content extraction: P6 boilerplate strip + T7 + R14 per line
+    (the readability-style default path for non-statement turns)."""
+    hits: dict[str, int] = {}
+    raw_lines = [ln.text for ln in split_lines(text)]
+    kept, dropped = strip_boilerplate_lines(raw_lines)
+    if dropped:
+        _hit(hits, "p6_footer_dropped", dropped)
+    out = []
+    for s in kept:
+        cleaned = TN.collapse_whitespace(TN.strip_non_printable(s))
+        if cleaned:
+            out.append(cleaned)
+    if out:
+        _hit(hits, "content_lines", len(out))
+    return ExtractResult([], hits, out)
+
+
+EXTRACTORS = {
+    "chase_visa": extract_chase_visa,
+    "chase_checking": extract_chase_checking,
+    "bofa_bank": extract_bofa_bank,
+    "wf_mastercard": extract_wf_mastercard,
+    "wf_visa": extract_wf_visa,
+    "first_republic": extract_first_republic,
+    "wf_bank_layout": extract_wf_bank_layout,
+    "amazon_order": extract_amazon_order,
+    "csv_capitalone": extract_csv_capitalone,
+    "csv_wf_checking": extract_csv_wf_checking,
+    "noisy_desc": extract_noisy_desc,
+    "date_edges": extract_date_edges,
+    "ledger_rows": extract_ledger_rows,
+    "freeform": extract_freeform,
+}

@@ -1,0 +1,89 @@
+"""Single-turn end-to-end extraction: detect -> extract -> validate -> render.
+
+This function IS the semantics of the pipeline. The golden oracle calls it in
+plain Python; the Spark tier calls the same function inside mapInPandas
+(operators/extract.py). Byte parity between the two is therefore structural.
+
+Validity follows P5 (transaction_normalizer.py:41-65 `_is_valid_row` +
+normalize_api.py:36-56 `is_valid_transaction`): required fields
+transaction_date (parseable), amount (float), description (non-empty).
+Invalid records are quarantined — excluded from extracted_text, with the turn
+flagged invalid and reasons recorded (transaction_normalizer.py:273-284).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from .amounts import format_amount
+from .doctype import detect_family
+from .extractors import EXTRACTORS, Record
+
+
+class TurnResult(NamedTuple):
+    family: str
+    extracted_text: str
+    spans: list[tuple[int, int, str]]  # (start, end, kind)
+    rule_hits: dict[str, int]
+    valid: bool
+    problem_reason: str | None
+    n_records: int
+
+
+def _record_problem(r: Record) -> str | None:
+    """P5 reasons in reference check order (transaction_normalizer.py:41-65)."""
+    if not r.date:
+        return "missing_or_unparseable_date"
+    if r.amount is None:
+        return "missing_or_unparseable_amount"
+    if not r.description:
+        return "empty_description"
+    return None
+
+
+def render_record(r: Record) -> str:
+    """Canonical record line: ISO-date|amount-repr|description|type.
+
+    Amount uses the reference's Decimal-hop float repr (amounts.format_amount,
+    data_transformation.py:51-83) — the byte-parity formatting path.
+    """
+    return "|".join((r.date or "", format_amount(r.amount), r.description, r.ttype or ""))
+
+
+def extract_turn(text: str | None) -> TurnResult:
+    """The per-turn contract: family dispatch (S5 first-match), family
+    extraction, P5 quarantine, canonical rendering under document order."""
+    if text is None:
+        return TurnResult("null", "", [], {}, False, "null_text", 0)
+    family = detect_family(text)
+    result = EXTRACTORS[family](text)
+    hits = dict(result.hits)
+    hits[f"family_{family}"] = 1
+
+    if result.content is not None:
+        extracted = "\n".join(result.content)
+        spans = [(0, len(text), "content")] if extracted else []
+        return TurnResult(family, extracted, spans, hits, True, None, 0)
+
+    lines: list[str] = []
+    spans: list[tuple[int, int, str]] = []
+    reasons: list[str] = []
+    for r in result.records:
+        problem = _record_problem(r)
+        if problem is None:
+            lines.append(render_record(r))
+            spans.append((r.start, r.end, family))
+        else:
+            if problem not in reasons:
+                reasons.append(problem)
+            hits["p5_quarantined"] = hits.get("p5_quarantined", 0) + 1
+    valid = not reasons
+    return TurnResult(
+        family,
+        "\n".join(lines),
+        spans,
+        hits,
+        valid,
+        ";".join(reasons) if reasons else None,
+        len(lines),
+    )

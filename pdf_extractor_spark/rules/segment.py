@@ -1,0 +1,138 @@
+"""Tokenization / segmentation primitives T1-T6 (SURVEY.md §2.2).
+
+Reference semantics:
+  T1 line split               -> chase_visa_parser.py:58, bofa_bank_parser.py:92
+  T2 section state machine    -> bofa_bank_parser.py:91-150
+  T3 multi-line block assembly-> chase_visa_parser.py:70-81,
+                                 wellsfargo_bank_parser.py:204-221
+  T5 capture-between-markers  -> amazon_parser.py:162-185
+  T6 whitespace-geometry line profiler -> wellsfargo_bank_parser.py:41-126
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, NamedTuple
+
+
+class Line(NamedTuple):
+    """A source line with its char span in the original text (T1 keeps order
+    AND offsets so spans survive to the output)."""
+
+    no: int
+    start: int
+    end: int
+    text: str
+
+
+def split_lines(text: str) -> list[Line]:
+    """T1: split on newline, strip, drop empties — offsets preserved."""
+    out: list[Line] = []
+    pos = 0
+    for i, raw in enumerate(text.split("\n")):
+        stripped = raw.strip()
+        if stripped:
+            lead = len(raw) - len(raw.lstrip())
+            start = pos + lead
+            out.append(Line(i, start, start + len(stripped), stripped))
+        pos += len(raw) + 1
+    return out
+
+
+def forward_fill_sections(
+    lines: list[Line], headers: dict[str, str]
+) -> list[tuple[Line, str | None]]:
+    """T2: tag each line with the last-seen section header (forward fill).
+
+    ``headers`` maps a header marker substring -> section tag
+    (bofa_bank_parser.py:91-150 toggles booleans; this is the same state
+    machine expressed as last(tag) OVER (ORDER BY line_no))."""
+    current: str | None = None
+    tagged: list[tuple[Line, str | None]] = []
+    for ln in lines:
+        matched = None
+        for marker, tag in headers.items():
+            if marker in ln.text:
+                matched = tag
+                break
+        if matched is not None:
+            current = matched
+            continue  # header line itself is not data
+        tagged.append((ln, current))
+    return tagged
+
+
+def assemble_blocks(
+    lines: list[Line], is_start: Callable[[str], bool]
+) -> list[list[Line]]:
+    """T3: start a block on ``is_start`` lines; append continuations until the
+    next start (chase_visa_parser.py:70-81). Lines before the first start are
+    dropped, like the reference's loop."""
+    blocks: list[list[Line]] = []
+    cur: list[Line] | None = None
+    for ln in lines:
+        if is_start(ln.text):
+            if cur:
+                blocks.append(cur)
+            cur = [ln]
+        elif cur is not None:
+            cur.append(ln)
+    if cur:
+        blocks.append(cur)
+    return blocks
+
+
+def capture_between(text: str, start_marker: str, end_marker: str) -> tuple[str, int]:
+    """T5: substring between two markers (amazon_parser.py:162-185 /
+    wellsfargo_visa_parser.py:117-124 find-based slicing).
+
+    Returns (captured, start_offset); ('', -1) when absent."""
+    i = text.find(start_marker)
+    if i < 0:
+        return "", -1
+    j = text.find(end_marker, i + len(start_marker))
+    if j < 0:
+        j = len(text)
+    s = i + len(start_marker)
+    return text[s:j], s
+
+
+_RUNS = re.compile(r"(\d[\d,.]*|[ ]+|[^\s\d]+[^\s]*)")
+
+
+def analyze_line_elements(line: str) -> list[tuple[str, int]]:
+    """T6: tokenize a line into (kind, length) runs, kind in
+    {'number','spaces','text'} (wellsfargo_bank_parser.py:81-126)."""
+    out: list[tuple[str, int]] = []
+    for m in _RUNS.finditer(line):
+        tok = m.group(0)
+        if tok[0] == " ":
+            kind = "spaces"
+        elif tok[0].isdigit():
+            kind = "number"
+        else:
+            kind = "text"
+        out.append((kind, len(tok)))
+    return out
+
+
+def classify_by_space_geometry(line: str) -> str | None:
+    """T6: deposit vs withdrawal by the width of the space run separating the
+    description from the amount (wellsfargo_bank_parser.py:41-78: wide run =
+    deposit column, narrow = withdrawal column).
+
+    Returns 'deposit' (run >= 4 spaces), 'withdrawal' (1-3 spaces), or None
+    when the line has no trailing amount."""
+    runs = analyze_line_elements(line)
+    # need ... spaces number [spaces number] at the end
+    kinds = [k for k, _ in runs]
+    if len(runs) < 3 or kinds[-1] != "number":
+        return None
+    # find the space run immediately before the first trailing number group
+    idx = len(runs) - 2
+    if kinds[idx] == "number" and idx - 1 >= 0 and kinds[idx - 1] == "spaces":
+        idx -= 1  # two trailing numbers (amount + balance)
+    if kinds[idx] != "spaces":
+        return None
+    width = runs[idx][1]
+    return "deposit" if width >= 4 else "withdrawal"

@@ -1,0 +1,70 @@
+"""Text normalization rules R13-R15, T7, R14 (SURVEY.md §2.4).
+
+Reference semantics:
+  R13 description cleanup   -> transaction_normalizer.py:381-407
+  R14 whitespace collapse   -> transaction_normalizer.py:405, chase_checking.py:335-337
+  R15 trailing-artifact strip-> first_republic_bank_parser.py:430-432, 311
+  T7  non-printable strip   -> capitalone_visa_print_parser.py:95-102
+All regexes compiled once at module scope (C regex engine does the per-row
+work; callers batch over pandas Series).
+"""
+
+from __future__ import annotations
+
+import re
+
+# R13: reference-number strip list, applied in this exact order
+# (transaction_normalizer.py:390-399). IGNORECASE like the reference.
+_REF_STRIP_PATTERNS: list[re.Pattern[str]] = [
+    re.compile(p, re.IGNORECASE)
+    for p in (
+        r"POS DEBIT \d+",
+        r"ACH DEBIT \d+",
+        r"ACH CREDIT \d+",
+        r"POS CREDIT \d+",
+        r"\d{4}\*",  # masked card fragment
+        r"REF\s*\d+",
+        r"TRANS\s*\d+",
+        r"PURCHASE AUTH \d+",
+    )
+]
+
+# R15: trailing artifacts (first_republic_bank_parser.py:430-432)
+_TRAILING_REF = re.compile(r"\s+\d+\s*$")
+_MASKED_CARD = re.compile(r"XXXXXXXXXXXX\d+")
+
+# T7: keep printable ASCII range 0x20-0x7E (capitalone_visa_print_parser.py:95-102)
+_NON_PRINTABLE = re.compile(r"[^\x20-\x7E]")
+
+_WS = re.compile(r"\s+")
+
+
+def strip_non_printable(s: str) -> str:
+    """T7: drop non-printable / non-ASCII chars (after NBSP -> space)."""
+    return _NON_PRINTABLE.sub("", s.replace("\xa0", " "))
+
+
+def collapse_whitespace(s: str) -> str:
+    """R14: ``" ".join(s.split())`` semantics incl. NBSP (chase_checking.py:335-337)."""
+    return _WS.sub(" ", s.replace("\xa0", " ")).strip()
+
+
+def strip_trailing_artifacts(s: str) -> str:
+    """R15: masked card then trailing ref-number run, same order as reference."""
+    s = _MASKED_CARD.sub("", s)
+    s = _TRAILING_REF.sub("", s)
+    return s
+
+
+def normalize_description(s: str) -> str:
+    """R13+R14+R15 chained in reference order (transaction_normalizer.py:381-407).
+
+    Returns the canonical description: ref-number patterns removed, masked
+    cards and trailing digit runs stripped, whitespace collapsed.
+    """
+    if not s:
+        return ""
+    for pat in _REF_STRIP_PATTERNS:
+        s = pat.sub("", s)
+    s = strip_trailing_artifacts(s)
+    return collapse_whitespace(s)

@@ -1,0 +1,331 @@
+"""Deterministic synthetic transcript generator (FIXTURES.md §1/§3, seed=42).
+
+Emits the `(conv_id, turn_idx, role, text, tool, ts)` table from
+BASELINE.json's input_hint. Conversation lengths are power-law distributed (to
+exercise skew salting); rows are emitted SHUFFLED so the pipeline's stable
+(conv_id, turn_idx) ordering is actually load-bearing; each turn's text is one
+payload family chosen by a content hash (FIXTURES.md §3).
+
+Everything keys off ``zlib.crc32`` (never Python's salted ``hash``) so the
+table is bit-identical across processes and sessions.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import random
+import zlib
+
+import pandas as pd
+
+_EPOCH = _dt.datetime(2024, 1, 1, 0, 0, 0)
+
+_MERCHANTS = (
+    "AMAZON MKTPL*12ZB3", "STARBUCKS #4821", "WHOLEFDS MKT 10233",
+    "SHELL OIL 57442199", "NETFLIX.COM", "UBER TRIP HELP.UBER.COM",
+    "TRADER JOE'S #553", "COSTCO WHSE #0412", "DELTA AIR 0062341234567",
+    "OFFICE SUPPLY CO", "ACME PAYROLL", "CITY UTILITIES",
+)
+_WORDS = (
+    "the quick ledger review shows reconciled balances for the quarter",
+    "meeting notes follow up on vendor invoices and approvals",
+    "please summarize spending by category for the last period",
+    "the agent retrieved three statements and parsed them",
+    "totals were verified against the downloaded CSV export",
+)
+
+
+def _rng(conv_id: str, turn_idx: int, seed: int) -> random.Random:
+    key = f"{conv_id}:{turn_idx}:{seed}"
+    return random.Random(zlib.crc32(key.encode()))
+
+
+def _amt(rng: random.Random, lo: float = 1.0, hi: float = 2500.0) -> str:
+    v = round(rng.uniform(lo, hi), 2)
+    s = f"{v:,.2f}"
+    return s
+
+
+def _mmdd(rng: random.Random, month: int | None = None) -> str:
+    m = month if month is not None else rng.randint(1, 12)
+    return f"{m:02d}/{rng.randint(1, 28):02d}"
+
+
+def _merch(rng: random.Random) -> str:
+    return rng.choice(_MERCHANTS)
+
+
+def gen_chase_visa(rng: random.Random) -> str:
+    lines = ["Chase Visa", "Opening/Closing Date 12/15/23 - 01/14/24"]
+    for _ in range(rng.randint(2, 6)):
+        month = rng.choice((12, 1))
+        sign = "-" if rng.random() < 0.7 else ""
+        lines.append(f"{_mmdd(rng, month)} {_merch(rng)} {sign}{_amt(rng)}")
+        if rng.random() < 0.3:
+            lines.append("CONTINUATION DETAIL LINE")
+    return "\n".join(lines)
+
+
+def gen_chase_checking(rng: random.Random) -> str:
+    lines = [
+        "*start*checking summary",
+        "CHECKING SUMMARY",
+        "Statement Date: 12/31/2023",
+        "TRANSACTION DETAIL",
+    ]
+    for _ in range(rng.randint(2, 5)):
+        sign = "-" if rng.random() < 0.5 else ""
+        lines.append(
+            f"{_mmdd(rng, 12)} {_merch(rng)} {sign}{_amt(rng)} {_amt(rng, 100, 9000)}"
+        )
+    lines.append("*end*transaction detail")
+    return "\n".join(lines)
+
+
+def gen_bofa_bank(rng: random.Random) -> str:
+    lines = ["Bank of America", "Deposits and other additions"]
+    for _ in range(rng.randint(1, 3)):
+        lines.append(f"12/{rng.randint(1,28):02d}/23 {_merch(rng)} {_amt(rng)}")
+    lines.append("Withdrawals and other subtractions")
+    for _ in range(rng.randint(1, 3)):
+        lines.append(f"12/{rng.randint(1,28):02d}/23 {_merch(rng)} {_amt(rng)}")
+    lines.append("Checks")
+    for _ in range(rng.randint(0, 2)):
+        lines.append(f"12/{rng.randint(1,28):02d}/23 {rng.randint(1000,9999)} {_amt(rng)}")
+    return "\n".join(lines)
+
+
+def gen_wf_mastercard(rng: random.Random) -> str:
+    lines = [
+        "Wells Fargo Business Card",
+        "Statement Period 12/15/2023 to 01/14/2024",
+        "TransPostReference Number Description Credits Charges",
+    ]
+    for _ in range(rng.randint(2, 6)):
+        month = rng.choice((12, 1))
+        d1, d2 = _mmdd(rng, month), _mmdd(rng, month)
+        ref = f"REF{rng.randint(100,999)}"
+        desc = (
+            "AUTOMATIC PAYMENT - THANK YOU"
+            if rng.random() < 0.25
+            else _merch(rng)
+        )
+        lines.append(f"{d1}{d2}{ref} {desc} {_amt(rng)}")
+    return "\n".join(lines)
+
+
+def gen_wf_visa(rng: random.Random) -> str:
+    lines = [
+        "Wells Fargo Visa",
+        "Statement Period 12/15/2023 to 01/14/2024",
+        "Payments",
+    ]
+    for _ in range(rng.randint(1, 2)):
+        lines.append(
+            f"{_mmdd(rng, 12)} {_mmdd(rng, 12)} REF{rng.randint(100,999)} "
+            f"ONLINE PAYMENT THANK YOU {_amt(rng)}"
+        )
+    lines.append("TOTAL PAYMENTS FOR THIS PERIOD")
+    lines.append("Purchases")
+    for _ in range(rng.randint(1, 4)):
+        month = rng.choice((12, 1))
+        lines.append(
+            f"{rng.randint(1000,9999)} {_mmdd(rng, month)} {_mmdd(rng, month)} "
+            f"REF{rng.randint(100,999)} {_merch(rng)} {_amt(rng)}"
+        )
+    lines.append("TOTAL PURCHASES FOR THIS PERIOD")
+    return "\n".join(lines)
+
+
+def gen_first_republic(rng: random.Random) -> str:
+    lines = [
+        "First Republic Bank",
+        "Statement Period: May 11, 2024 - May 24, 2024",
+        "Account Number: 123-456789",
+        "Deposits",
+    ]
+    for _ in range(rng.randint(1, 3)):
+        lines.append(f"05/{rng.randint(11,24):02d} {_merch(rng)} ${_amt(rng)}")
+    if rng.random() < 0.5:
+        lines.append(f"INTEREST CREDIT ${_amt(rng, 0.1, 5.0)}")
+    lines.append("Withdrawals")
+    for _ in range(rng.randint(1, 3)):
+        lines.append(f"05/{rng.randint(11,24):02d} {_merch(rng)} ${_amt(rng)} -")
+        if rng.random() < 0.3:
+            lines.append("CONTINUATION MERCHANT CITY 94111")
+    lines += ["111 Pine Street", "San Francisco, CA 94111", "Member FDIC", "Page 2 of 6"]
+    return "\n".join(lines)
+
+
+def gen_wf_bank_layout(rng: random.Random) -> str:
+    lines = ["Wells Fargo Bank", "Statement Date: 12/31/2023"]
+    for _ in range(rng.randint(2, 5)):
+        deposit = rng.random() < 0.5
+        gap = "     " if deposit else "   "
+        lines.append(
+            f"12/{rng.randint(1,28)} {_merch(rng)}{gap}{_amt(rng)}  {_amt(rng, 100, 9000)}"
+        )
+    return "\n".join(lines)
+
+
+def gen_amazon_order(rng: random.Random) -> str:
+    items = []
+    for _ in range(rng.randint(1, 3)):
+        items.append(
+            f"{rng.randint(1,3)} of: WIDGET {rng.choice(('PRO','MAX','MINI','XL'))}\n"
+            f"Sold by: WidgetCo Supplied by: WidgetCo Condition: New\n"
+            f"${_amt(rng, 5, 200)}"
+        )
+    gift = f"\nGift Card Amount:-${round(rng.uniform(1,20),2):.2f}" if rng.random() < 0.3 else ""
+    return (
+        "Amazon.com\n"
+        f"Order Placed: March {rng.randint(1,28)}, 2024\n"
+        f"order number: 112-{rng.randint(1000000,9999999)}-{rng.randint(1000000,9999999)}\n"
+        f"Order Total: ${_amt(rng, 10, 500)}\n"
+        "Items Ordered\n" + "\n".join(items) + "\nShipping Address:\nJOHN DOE" + gift
+    )
+
+
+def gen_csv_capitalone(rng: random.Random) -> str:
+    lines = [
+        "Capital One export",
+        "Transaction Date,Posted Date,Card No.,Description,Category,Debit,Credit",
+    ]
+    for _ in range(rng.randint(2, 5)):
+        d = rng.randint(1, 28)
+        if rng.random() < 0.7:
+            lines.append(
+                f"2024-01-{d:02d},2024-01-{min(d+1,28):02d},1234,{_merch(rng)},Other,{_amt(rng)},"
+            )
+        else:
+            lines.append(
+                f"2024-01-{d:02d},2024-01-{min(d+1,28):02d},1234,PAYMENT RECEIVED,Payment,,{_amt(rng)}"
+            )
+    return "\n".join(lines)
+
+
+def gen_csv_wf_checking(rng: random.Random) -> str:
+    lines = []
+    for _ in range(rng.randint(2, 5)):
+        sign = "-" if rng.random() < 0.6 else ""
+        lines.append(
+            f"{rng.randint(1,12)}/{rng.randint(1,28)}/2024,{sign}{round(rng.uniform(1,900),2)},*,,{_merch(rng)}"
+        )
+    return "\n".join(lines)
+
+
+_NOISE = ("POS DEBIT 1234 ", "ACH CREDIT 99 ", "REF 4521 ", "TRANS 777 ",
+          "PURCHASE AUTH 55 ", "5678* ")
+
+
+def gen_noisy_desc(rng: random.Random) -> str:
+    lines = []
+    for _ in range(rng.randint(2, 5)):
+        noise = rng.choice(_NOISE)
+        tail = " XXXXXXXXXXXX5678" if rng.random() < 0.3 else ""
+        nbsp = "\xa0" if rng.random() < 0.3 else "  "
+        lines.append(f"MEMO {noise}{_merch(rng)}{nbsp}{rng.choice(_WORDS)}{tail}\x00")
+    return "\n".join(lines)
+
+
+def gen_date_edges(rng: random.Random) -> str:
+    formats = [
+        lambda: f"2023-12-{rng.randint(10,28)}",
+        lambda: f"{rng.randint(1,12):02d}/{rng.randint(1,28):02d}/2024",
+        lambda: f"{rng.randint(1,12):02d}/{rng.randint(1,28):02d}/24",
+        lambda: f"12/{rng.randint(1,28):02d}",  # + statement year w/ boundary
+        lambda: f"March {rng.randint(1,28)}, 2024",
+        lambda: "02/30/2024",  # invalid calendar date
+    ]
+    lines = ["DATE AUDIT", "Statement Date: 01/15/2024"]
+    for _ in range(rng.randint(3, 6)):
+        f = rng.choice(formats)
+        lines.append(f"{f()}|{_amt(rng)}|{_merch(rng)}")
+    return "\n".join(lines)
+
+
+def gen_ledger_rows(rng: random.Random) -> str:
+    rows = [
+        lambda: f"2024-01-{rng.randint(1,28):02d}|{_amt(rng)}|{_merch(rng)}",
+        lambda: f"|{_amt(rng)}|{_merch(rng)}",  # missing date
+        lambda: f"2024-01-{rng.randint(1,28):02d}||{_merch(rng)}",  # missing amount
+        lambda: f"2024-01-{rng.randint(1,28):02d}|abc|{_merch(rng)}",  # bad amount
+        lambda: f"2024-01-{rng.randint(1,28):02d}|{_amt(rng)}|",  # empty desc
+    ]
+    lines = ["LEDGER ROWS"]
+    for _ in range(rng.randint(3, 6)):
+        lines.append(rng.choice(rows)())
+    return "\n".join(lines)
+
+
+def gen_freeform(rng: random.Random) -> str:
+    lines = [rng.choice(_WORDS) for _ in range(rng.randint(2, 6))]
+    if rng.random() < 0.5:
+        lines.insert(rng.randint(0, len(lines)), "Page 3 of 9")
+        lines.append("Member FDIC")
+    return "\n".join(lines)
+
+
+FAMILY_GENERATORS = (
+    ("chase_visa", gen_chase_visa),
+    ("chase_checking", gen_chase_checking),
+    ("bofa_bank", gen_bofa_bank),
+    ("wf_mastercard", gen_wf_mastercard),
+    ("wf_visa", gen_wf_visa),
+    ("first_republic", gen_first_republic),
+    ("wf_bank_layout", gen_wf_bank_layout),
+    ("amazon_order", gen_amazon_order),
+    ("csv_capitalone", gen_csv_capitalone),
+    ("csv_wf_checking", gen_csv_wf_checking),
+    ("noisy_desc", gen_noisy_desc),
+    ("date_edges", gen_date_edges),
+    ("ledger_rows", gen_ledger_rows),
+    ("freeform", gen_freeform),
+)
+
+_ROLES = ("user", "assistant", "tool")
+
+
+def conversation_lengths(n_convs: int, seed: int = 42) -> list[int]:
+    """Power-law-ish lengths: most conversations short, a few very long
+    (FIXTURES.md §1 — exercises the skew salting)."""
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n_convs):
+        u = rng.random()
+        # pareto-ish: 80% in [2,8], tail up to ~400
+        n = int(2 + 6 * u) if u < 0.8 else int(8 / max(1e-3, (1 - u)) ** 0.7)
+        out.append(max(2, min(n, 400)))
+    return out
+
+
+def generate_transcripts(n_convs: int = 100, seed: int = 42) -> pd.DataFrame:
+    """Deterministic transcript table; rows returned in SHUFFLED order."""
+    rows = []
+    lengths = conversation_lengths(n_convs, seed)
+    for k, n_turns in enumerate(lengths):
+        conv_id = f"conv_{k:06d}"
+        for t in range(n_turns):
+            rng = _rng(conv_id, t, seed)
+            fam_idx = zlib.crc32(f"{conv_id}:{t}:fam".encode()) % len(FAMILY_GENERATORS)
+            _, gen = FAMILY_GENERATORS[fam_idx]
+            role = _ROLES[t % 3]
+            rows.append(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": t,
+                    "role": role,
+                    "text": gen(rng),
+                    "tool": ("pdf_reader" if rng.random() < 0.5 else "csv_reader")
+                    if role == "tool"
+                    else None,
+                    "ts": _EPOCH + _dt.timedelta(seconds=37 * t),
+                }
+            )
+    df = pd.DataFrame(rows)
+    shuffle_rng = random.Random(seed ^ 0x5EED)
+    order = list(range(len(df)))
+    shuffle_rng.shuffle(order)
+    df = df.iloc[order].reset_index(drop=True)
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    return df
