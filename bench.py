@@ -1,0 +1,227 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: ``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is forced end-to-end with the built-in ``noop`` sink (full
+computation, no driver collect). The flagship extraction pipeline is measured
+as turns/sec over a transcript table synthesized deterministically from the
+sf-dir ``documents`` table (no external data).
+
+``--scaling`` mode runs the extraction stage at two parallelism levels
+(local[8] vs local[32] by default) in fresh subprocesses and reports the
+throughput ratio — the sandbox stand-in for the N vs 4N executor criterion
+(BASELINE.md §3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+SCALING_CONVS = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "100000"))
+
+# headline operator queries from the catalog (a scan, a partial-agg, a
+# broadcast join, a window, a near-dup join, and the ANN top-k)
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping",
+    "a5_dedup_exact",
+    "w6_sessionize",
+    "text_quality_score",
+    "sim_bruteforce_topk",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    name = Path(sf_dir).name
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _force(df) -> int:
+    """Run the full plan without collecting results to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def _bench_transcripts(spark, sf_dir: str, n_convs: int | None = None):
+    """Deterministic synthetic transcript corpus sized to the sf (seed=42),
+    generated distributed once and cached as parquet so every run (and both
+    scaling parallelism levels) reads identical bytes."""
+    from pdf_extractor_spark.sources.synth import generate_transcripts_distributed
+
+    if n_convs is None:
+        n_convs = max(250, int(250_000 * _sf_of(sf_dir)))  # sf0.1 -> 25k convs (~400k turns)
+    path = _REPO / ".cache" / f"transcripts_c{n_convs}_s42.parquet"
+    if not path.exists():
+        # many small files -> ~0.5s tasks: smooth scheduling (no wave
+        # quantization / straggler tail) at every parallelism level
+        generate_transcripts_distributed(spark, n_convs, seed=42, partitions=256).write.mode(
+            "overwrite"
+        ).parquet(str(path))
+    return spark.read.parquet(str(path))
+
+
+def run_extraction(spark, sf_dir: str, n_convs: int | None = None) -> tuple[float, int]:
+    """Flagship extraction stage: returns (seconds, n_turns)."""
+    from pdf_extractor_spark.operators.extract import extract_turns
+
+    transcripts = _bench_transcripts(spark, sf_dir, n_convs)
+    extracted = extract_turns(transcripts)
+    t0 = time.perf_counter()
+    n = extracted.count()
+    sec = time.perf_counter() - t0
+    return sec, n
+
+
+def main() -> None:
+    from pdf_extractor_spark.plans import catalog
+    from pdf_extractor_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = catalog.queries()
+
+    # warmup: JIT/codegen + parquet footer caches
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        df = qs[name](spark, SF_DIR)
+        t0 = time.perf_counter()
+        _force(df)
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    ext_sec, n_turns = run_extraction(spark, SF_DIR)
+    times["extraction_pipeline"] = round(ext_sec, 3)
+    turns_per_sec = round(n_turns / ext_sec, 1) if ext_sec > 0 else 0.0
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": _sf_of(SF_DIR),
+                "extraction_turns": n_turns,
+                "extraction_turns_per_sec": turns_per_sec,
+                "cpus": int(CPUS),
+            }
+        )
+    )
+    spark.stop()
+
+
+def _scaling_child(cores: int, sf_dir: str) -> dict:
+    """Run ONLY the extraction stage at a given core count (fresh JVM).
+
+    Split sizing: the cached corpus is many small parquet files; with the
+    default 128MB maxPartitionBytes + 4MB open-cost Spark bin-packs them into
+    a handful of input splits, serializing the scan at ANY core count. Sizing
+    splits to the data (exactly what a 100TB job does, in the other direction)
+    restores one task per file so parallelism is real."""
+    from pdf_extractor_spark.session import get_spark
+
+    spark = get_spark(
+        f"scale{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(8, cores),
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.openCostInBytes": "0",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # corpus large enough that compute dominates fixed overhead (~1.6M turns);
+    # warmup pass (JIT + Arrow + python-worker spinup), then measured pass
+    run_extraction(spark, sf_dir, n_convs=SCALING_CONVS)
+    sec, n = run_extraction(spark, sf_dir, n_convs=SCALING_CONVS)
+    spark.stop()
+    return {"cores": cores, "sec": round(sec, 3), "turns": n, "turns_per_sec": round(n / sec, 1)}
+
+
+def _spin(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
+def _spin_eff(lo: int, hi: int, total: int = 320_000_000) -> dict:
+    """Hardware-envelope control: perfectly parallel, memory-free integer
+    arithmetic via multiprocessing at the same two process counts. On a host
+    with hypervisor CPU steal (see /proc/stat), even this does not scale
+    linearly — its efficiency is the CEILING any job can achieve here."""
+    import multiprocessing as mp
+
+    secs = {}
+    for procs in (lo, hi):
+        with mp.Pool(procs) as p:
+            t0 = time.perf_counter()
+            p.map(_spin, [total // procs] * procs)
+            secs[procs] = time.perf_counter() - t0
+    eff = (secs[lo] / secs[hi]) / (hi / lo)
+    return {"lo_sec": round(secs[lo], 2), "hi_sec": round(secs[hi], 2), "eff": round(eff, 3)}
+
+
+def scaling(lo: int = 4, hi: int = 16) -> None:
+    """Two-parallelism-level scaling evidence (BASELINE.md §3): the same
+    extraction job on the same cached input at lo and 4*lo cores, in fresh
+    JVMs, plus the hardware-envelope spin control. Normalized efficiency
+    (spark_eff / control_eff) expresses how much of the HOST's achievable
+    scaling the pipeline captures — the sandbox stand-in for N vs 4N
+    executors, where the host itself is not CPU-throttled."""
+    results = []
+    for cores in (lo, hi):
+        out = subprocess.run(
+            [sys.executable, __file__, "--scaling-child", str(cores)],
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=str(_REPO),
+        )
+        results.append(json.loads(out.stdout.strip().splitlines()[-1]))
+    thr_lo, thr_hi = results[0]["turns_per_sec"], results[1]["turns_per_sec"]
+    eff = round((thr_hi / thr_lo) / (hi / lo), 3)
+    control = _spin_eff(lo, hi)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": eff,
+                "unit": "ratio",
+                "runs": results,
+                "control_spin": control,
+                "normalized_efficiency": round(eff / control["eff"], 3),
+                "sf": _sf_of(SF_DIR),
+                "target": 0.8,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--scaling-child":
+        print(json.dumps(_scaling_child(int(sys.argv[2]), SF_DIR)))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+        scaling(lo, lo * 4)
+    else:
+        main()

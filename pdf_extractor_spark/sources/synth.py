@@ -299,6 +299,60 @@ def conversation_lengths(n_convs: int, seed: int = 42) -> list[int]:
     return out
 
 
+def _conv_len_hashed(conv_id: str, seed: int) -> int:
+    """Per-conversation length derived from a content hash — computable on any
+    executor without a driver-side list (the scale-clean variant of
+    ``conversation_lengths``; same power-law shape)."""
+    u = (zlib.crc32(f"{conv_id}:{seed}:len".encode()) % 1_000_000) / 1_000_000
+    n = int(2 + 6 * u) if u < 0.8 else int(8 / max(1e-3, (1 - u)) ** 0.7)
+    return max(2, min(n, 400))
+
+
+def _rows_for_conv(conv_id: str, seed: int) -> list[dict]:
+    rows = []
+    for t in range(_conv_len_hashed(conv_id, seed)):
+        rng = _rng(conv_id, t, seed)
+        fam_idx = zlib.crc32(f"{conv_id}:{t}:fam".encode()) % len(FAMILY_GENERATORS)
+        _, gen = FAMILY_GENERATORS[fam_idx]
+        role = _ROLES[t % 3]
+        rows.append(
+            {
+                "conv_id": conv_id,
+                "turn_idx": t,
+                "role": role,
+                "text": gen(rng),
+                "tool": ("pdf_reader" if rng.random() < 0.5 else "csv_reader")
+                if role == "tool"
+                else None,
+                "ts": _EPOCH + _dt.timedelta(seconds=37 * t),
+            }
+        )
+    return rows
+
+
+def generate_transcripts_distributed(spark, n_convs: int, seed: int = 42, partitions: int = 64):
+    """Distributed deterministic transcript generation: spark.range over conv
+    ordinals fans out to executors; each emits its conversations via the same
+    family generators. Bit-identical across runs/parallelism (crc32-keyed, no
+    Python hash salt). This is how the bench corpus is built — at 10^12-turn
+    scale the same shape generates any size without driver memory."""
+    from collections.abc import Iterator
+
+    from ..schema import TRANSCRIPTS
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for k in pdf["id"]:
+                rows.extend(_rows_for_conv(f"conv_{int(k):06d}", seed))
+            out = pd.DataFrame(rows)
+            out["turn_idx"] = out["turn_idx"].astype("int32")
+            yield out
+
+    ids = spark.range(n_convs).repartition(partitions)
+    return ids.mapInPandas(gen, schema=TRANSCRIPTS)
+
+
 def generate_transcripts(n_convs: int = 100, seed: int = 42) -> pd.DataFrame:
     """Deterministic transcript table; rows returned in SHUFFLED order."""
     rows = []
