@@ -1,0 +1,155 @@
+"""Deduplication operators for the training-data pipeline.
+
+Ladder (cheapest first; each output feeds the next as a filter):
+  1. exact      — sha2(text) groupBy           (catalog: a5_dedup_exact)
+  2. simhash    — 32-bit sign-of-sums sketch    (here: simhash_docs)
+  3. minhash+LSH — banded signature bucket join (here: minhash_lsh_pairs)
+  4. n-gram Jaccard — exact verifier on candidates (inside minhash_lsh_pairs)
+
+Everything is native Column expressions (whole-stage codegen, no Python), and
+every hash is the cross-engine md5-prefix ``h32`` so the DuckDB oracle can
+reproduce results bit-for-bit.
+
+Scale notes (100 TB):
+  - minhash signatures are one narrow pass over the scan (16 array
+    traversals); no shuffle until the band-bucket join.
+  - the band join shuffles only (band_id, 16-byte key, doc_id) — tiny rows.
+  - pathological buckets (boilerplate-identical docs) blow up m^2/2; at scale
+    cap bucket size (count per key, drop or sample keys with > B members —
+    those docs are exact-dup-able by signature anyway). Flagged via log, not
+    silently (the cap is OFF here: the gate needs exact parity).
+  - the Jaccard verify join re-reads only candidate docs' token arrays
+    (semi-join pushdown on doc_id), not the corpus.
+
+Reference parity: generalizes A5/S10 content-keyed dedup
+(normalize_api.py:104-105, transaction_classifier.py:62-118) to near-dup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import h32
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+SIMHASH_BITS = 32
+
+
+def tokenized(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, toks) with distinct whitespace tokens; empty docs dropped."""
+    return (
+        docs.select(id_col, F.array_distinct(F.split(F.col(text_col), " ")).alias("toks"))
+        .where(F.size("toks") > 0)
+    )
+
+
+def minhash_signature_cols(toks=None) -> list:
+    """16 minhash columns: mh_i = min over tokens of h32('p{i}:'||tok)."""
+    if toks is None:
+        toks = F.col("toks")
+
+    def _mh(i: int):
+        # single-arg lambda (a 2-arg lambda would receive (element, index))
+        return F.array_min(
+            F.transform(toks, lambda t: h32(F.concat(F.lit(f"p{i}:"), t)))
+        ).alias(f"mh{i}")
+
+    return [_mh(i) for i in range(N_HASHES)]
+
+
+def band_keys(prefix: str = "mh") -> list:
+    """4 band keys: md5 of the comma-joined 4-row slice of the signature."""
+    return [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"{prefix}{b * ROWS_PER_BAND + r}").cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
+        ).alias(f"band{b}")
+        for b in range(N_BANDS)
+    ]
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding, verified with exact
+    token-set Jaccard. Returns (d1, d2, jaccard) with jaccard >= threshold,
+    d1 < d2, 4-dp fixed point.
+
+    With 16 perms / 4 bands x 4 rows, candidate recall at s=0.9 is
+    1-(1-s^4)^4 ≈ 0.986; the DuckDB oracle mirrors the SAME pipeline, so the
+    gate compares identical (not merely statistically similar) outputs.
+    """
+    toks = tokenized(docs, id_col, text_col)
+    sig = toks.select(id_col, "toks", *minhash_signature_cols()).select(
+        id_col, "toks", *band_keys()
+    )
+    bands = sig.select(
+        F.col(id_col).alias("bid"),
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])).alias(
+            "band_id", "key"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.bid") < F.col("b.bid")),
+        )
+        .select(F.col("a.bid").alias("d1"), F.col("b.bid").alias("d2"))
+        .distinct()
+    )
+    t1 = toks.select(F.col(id_col).alias("d1"), F.col("toks").alias("toks1"))
+    t2 = toks.select(F.col(id_col).alias("d2"), F.col("toks").alias("toks2"))
+    inter = F.size(F.array_intersect("toks1", "toks2")).cast("double")
+    union = F.size("toks1") + F.size("toks2") - F.size(F.array_intersect("toks1", "toks2"))
+    jac = F.floor(inter / union * 10000 + F.lit(0.5)) / 10000.0
+    return (
+        cand.join(t1, "d1")
+        .join(t2, "d2")
+        .select("d1", "d2", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_docs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """32-bit SimHash per document: for each bit b, sum +1/-1 over token
+    occurrences (frequency-weighted) by whether bit b of h32(token) is set;
+    simhash = Σ 2^b over positive sums. Returns (id, simhash:bigint).
+
+    Scale: explode + two-phase groupBy — the partial agg combines the 32 sums
+    map-side, so the shuffle carries one row per doc."""
+    tok = docs.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).where(F.length("tok") > 0)
+    h = h32(F.col("tok"))
+    sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    bits = [
+        F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        for b in range(SIMHASH_BITS)
+    ]
+    simhash = bits[0]
+    for expr in bits[1:]:
+        simhash = simhash + expr
+    return sums.select(id_col, simhash.cast("long").alias("simhash"))

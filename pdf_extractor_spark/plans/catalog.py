@@ -808,8 +808,12 @@ _ORACLES: dict[str, str] = {
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_QUERIES)
+    from . import catalog_ext
+
+    return {**_QUERIES, **catalog_ext.QUERIES_EXT}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    from . import catalog_ext
+
+    return {**_ORACLES, **catalog_ext.ORACLES_EXT}

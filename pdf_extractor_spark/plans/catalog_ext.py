@@ -1,0 +1,350 @@
+"""Catalog extension: training-data pipeline operators (dedup ladder,
+similarity search, text analysis, fuzzy matching) as (Spark impl, DuckDB
+oracle) pairs. Merged into the driver registry by plans.catalog.
+
+Cross-engine determinism: every hash is the md5-prefix h32
+(functions/text.py), every float is fixed-point floored, every top-k has a
+total-order tiebreak — so the oracle reproduces results exactly, not
+statistically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    BPE_ISH_PATTERN,
+    bpe_ish_token_count,
+    h32_sql,
+    levenshtein_ratio,
+    rolling_fingerprint,
+    rolling_fingerprint_sql,
+    token_sort_key,
+)
+from ..operators.dedup import (
+    N_BANDS,
+    N_HASHES,
+    ROWS_PER_BAND,
+    SIMHASH_BITS,
+    minhash_lsh_pairs,
+    simhash_docs,
+)
+from ..operators.similarity import cosine_near_dup_pairs, ivf_topk
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# dedup ladder
+# ---------------------------------------------------------------------------
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4x4) near-dup pairs verified with exact Jaccard>=0.9
+    (operators/dedup.py; scale notes there). Bounded to doc_id<500 at the
+    gate; the full-corpus path is identical."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    return minhash_lsh_pairs(docs, threshold=0.9)
+
+
+def _minhash_lsh_oracle() -> str:
+    mh = ",\n    ".join(
+        f"list_min([{h32_sql(chr(39) + f'p{i}:' + chr(39) + ' || t')} for t in toks]) AS mh{i}"
+        for i in range(N_HASHES)
+    )
+    bands = ",\n    ".join(
+        "md5(concat_ws(','"
+        + "".join(f", mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + f")) AS band{b}"
+        for b in range(N_BANDS)
+    )
+    band_structs = ", ".join(
+        f"{{'band_id': {b}, 'key': band{b}}}" for b in range(N_BANDS)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+          FROM documents WHERE doc_id < 500
+            AND len(list_distinct(string_split(text, ' '))) > 0),
+        sig AS (
+          SELECT doc_id, toks,
+    {mh}
+          FROM toks),
+        sigb AS (
+          SELECT doc_id,
+    {bands}
+          FROM sig),
+        bands AS (
+          SELECT doc_id AS bid, u.s.band_id AS band_id, u.s.key AS key
+          FROM (SELECT doc_id, unnest([{band_structs}]) AS s FROM sigb) u),
+        cand AS (
+          SELECT DISTINCT a.bid AS d1, b.bid AS d2
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.key = b.key AND a.bid < b.bid),
+        j AS (
+          SELECT d1, d2,
+                 FLOOR(len(list_intersect(t1.toks, t2.toks))::DOUBLE
+                       / (len(t1.toks) + len(t2.toks)
+                          - len(list_intersect(t1.toks, t2.toks)))
+                       * 10000 + 0.5) / 10000.0 AS jaccard
+          FROM cand
+          JOIN toks t1 ON t1.doc_id = d1
+          JOIN toks t2 ON t2.doc_id = d2)
+        SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.9
+    """
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash sketch per document (operators/dedup.py)."""
+    return simhash_docs(_t(spark, sf_dir, "documents"))
+
+
+def _simhash_oracle() -> str:
+    h = h32_sql("tok")
+    sums = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        hashed AS (
+          SELECT doc_id, {h} AS h FROM tok WHERE length(tok) > 0),
+        sums AS (
+          SELECT doc_id,
+    {sums}
+          FROM hashed GROUP BY doc_id)
+        SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM sums
+    """
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (operators/similarity.py)."""
+    return cosine_near_dup_pairs(_t(spark, sf_dir, "embeddings"), max_id=200, threshold=0.4)
+
+
+_EMB_COSINE_ORACLE = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+               FROM embeddings WHERE vec_id < 200),
+    p AS (
+      SELECT a.vec_id AS v1, b.vec_id AS v2,
+             FLOOR(list_dot_product(a.emb, b.emb)
+                   / (sqrt(list_dot_product(a.emb, a.emb))
+                      * sqrt(list_dot_product(b.emb, b.emb)))
+                   * 10000 + 0.5) / 10000.0 AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    SELECT v1, v2, cosine FROM p WHERE cosine >= 0.4
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search (IVF)
+# ---------------------------------------------------------------------------
+
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: nearest-centroid assignment, probe own cluster
+    only (operators/similarity.py; the 100TB path vs brute force)."""
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), query_ids=(20, 30), k=3, n_centroids=8)
+
+
+_IVF_ORACLE = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, emb AS ce FROM e WHERE vec_id < 8),
+    assigned AS (
+      SELECT vec_id, emb, cent_id AS cluster
+      FROM (SELECT e.vec_id, e.emb, c.cent_id,
+                   list_dot_product(e.emb, c.ce)
+                     / (sqrt(list_dot_product(e.emb, e.emb))
+                        * sqrt(list_dot_product(c.ce, c.ce))) AS ccos
+            FROM e CROSS JOIN cents c)
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cent_id) = 1),
+    q AS (SELECT vec_id AS query_id, emb AS qe, cluster AS qc
+          FROM assigned WHERE vec_id >= 20 AND vec_id < 30),
+    scored AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id,
+             list_dot_product(a.emb, q.qe)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(q.qe, q.qe))) AS cos
+      FROM assigned a JOIN q ON a.cluster = q.qc AND a.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id,
+           FLOOR(cos * 10000 + 0.5) / 10000.0 AS cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_LANG_SETS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "sql": ("table", "row", "scan", "join", "group"),
+    "stream": ("stream", "batch", "window", "event"),
+}
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wordset-overlap language/domain ID heuristic (the n-gram language-ID
+    shape over the synthetic vocabulary): count hits per wordset, argmax with
+    fixed precedence en > sql > stream."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+
+    def _hits(kw: tuple[str, ...]):
+        # single-arg lambda (a 2-arg lambda would receive (element, index))
+        return F.size(F.filter(toks, lambda x: x.isin(*kw))).cast("long")
+
+    n = {k: _hits(kw) for k, kw in _LANG_SETS.items()}
+    guess = (
+        F.when((n["en"] >= n["sql"]) & (n["en"] >= n["stream"]), F.lit("en"))
+        .when(n["sql"] >= n["stream"], F.lit("sql"))
+        .otherwise(F.lit("stream"))
+    )
+    return docs.select(
+        "doc_id",
+        guess.alias("lang_guess"),
+        n["en"].alias("n_en"),
+        n["sql"].alias("n_sql"),
+        n["stream"].alias("n_stream"),
+    )
+
+
+def _langid_oracle() -> str:
+    def inlist(kw):
+        return "(" + ",".join(f"'{w}'" for w in kw) + ")"
+
+    sets = {
+        k: f"len(list_filter(string_split(text, ' '), x -> x IN {inlist(kw)}))"
+        for k, kw in _LANG_SETS.items()
+    }
+    return f"""
+        WITH t AS (
+          SELECT doc_id, {sets['en']} AS n_en, {sets['sql']} AS n_sql,
+                 {sets['stream']} AS n_stream
+          FROM documents)
+        SELECT doc_id,
+               CASE WHEN n_en >= n_sql AND n_en >= n_stream THEN 'en'
+                    WHEN n_sql >= n_stream THEN 'sql'
+                    ELSE 'stream' END AS lang_guess,
+               n_en, n_sql, n_stream
+        FROM t
+    """
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: min h32 over all 8-char shingles
+    (functions/text.py rolling_fingerprint) — winnowing-style content id."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_fingerprint(F.col("text"), 8).alias("fingerprint"))
+
+
+def q_text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token count under the BPE-ish pre-tokenizer regex."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# fuzzy matching (J2)
+# ---------------------------------------------------------------------------
+
+def q_j2_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 fuzzy best-match join (organizer_extractor.py:603-658): token-sort
+    Levenshtein ratio of each part name against a small broadcast dimension;
+    top-1 per left row with deterministic tiebreak. Levenshtein (not InDel)
+    — see functions/text.py levenshtein_ratio parity note."""
+    part = _t(spark, sf_dir, "part")
+    left = part.where((F.col("p_partkey") >= 50) & (F.col("p_partkey") < 250)).select(
+        "p_partkey", "p_name", token_sort_key(F.col("p_name")).alias("lkey")
+    )
+    dim = F.broadcast(
+        part.where(F.col("p_partkey") < 50)
+        .select(F.col("p_name").alias("matched_name"))
+        .distinct()
+        .select("matched_name", token_sort_key(F.col("matched_name")).alias("rkey"))
+    )
+    scored = left.crossJoin(dim).select(
+        "p_partkey",
+        "p_name",
+        "matched_name",
+        levenshtein_ratio(F.col("lkey"), F.col("rkey")).alias("match_ratio"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("match_ratio").desc(), F.col("matched_name")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("p_partkey", "p_name", "matched_name", "match_ratio")
+    )
+
+
+_J2_ORACLE = """
+    WITH lft AS (
+      SELECT p_partkey, p_name,
+             array_to_string(list_sort(string_split(lower(p_name), ' ')), ' ') AS lkey
+      FROM part WHERE p_partkey >= 50 AND p_partkey < 250),
+    dim AS (
+      SELECT matched_name,
+             array_to_string(list_sort(string_split(lower(matched_name), ' ')), ' ') AS rkey
+      FROM (SELECT DISTINCT p_name AS matched_name FROM part WHERE p_partkey < 50)),
+    scored AS (
+      SELECT p_partkey, p_name, matched_name,
+             FLOOR((1.0 - levenshtein(lkey, rkey)::DOUBLE
+                    / greatest(length(lkey) + length(rkey), 1))
+                   * 10000 + 0.5) / 10000.0 AS match_ratio
+      FROM lft CROSS JOIN dim)
+    SELECT p_partkey, p_name, matched_name, match_ratio
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY p_partkey
+                               ORDER BY match_ratio DESC, matched_name) = 1
+"""
+
+
+_FINGERPRINT_ORACLE = f"""
+    SELECT doc_id, {rolling_fingerprint_sql('text', 8)} AS fingerprint
+    FROM documents
+"""
+
+_BPE_ORACLE = f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT)
+             AS n_bpe_tokens
+    FROM documents
+"""
+
+
+QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "sim_ivf_topk": q_sim_ivf_topk,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "text_bpe_token_count": q_text_bpe_token_count,
+    "j2_fuzzy_topk": q_j2_fuzzy_topk,
+}
+
+ORACLES_EXT: dict[str, str] = {
+    "dedup_minhash_lsh": _minhash_lsh_oracle(),
+    "dedup_simhash": _simhash_oracle(),
+    "dedup_embedding_cosine": _EMB_COSINE_ORACLE,
+    "sim_ivf_topk": _IVF_ORACLE,
+    "text_langid": _langid_oracle(),
+    "text_fingerprint": _FINGERPRINT_ORACLE,
+    "text_bpe_token_count": _BPE_ORACLE,
+    "j2_fuzzy_topk": _J2_ORACLE,
+}
