@@ -808,12 +808,12 @@ _ORACLES: dict[str, str] = {
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from . import catalog_ext
+    from . import catalog_ext, catalog_ext2
 
-    return {**_QUERIES, **catalog_ext.QUERIES_EXT}
+    return {**_QUERIES, **catalog_ext.QUERIES_EXT, **catalog_ext2.QUERIES_EXT2}
 
 
 def oracle_sql() -> dict[str, str]:
-    from . import catalog_ext
+    from . import catalog_ext, catalog_ext2
 
-    return {**_ORACLES, **catalog_ext.ORACLES_EXT}
+    return {**_ORACLES, **catalog_ext.ORACLES_EXT, **catalog_ext2.ORACLES_EXT2}

@@ -1,0 +1,430 @@
+"""Catalog extension 2: reference rule operators (SURVEY.md §2.2/§2.4) as
+(Spark impl, DuckDB oracle) pairs over the shared testdata tables.
+
+Pattern: where the testdata has no statement-like strings, the query RENDERS
+one deterministically from typed columns and then applies the reference rule
+to recover structure — a round-trip that exercises the exact regex/expression
+semantics cross-engine (render and rule both mirrored in the oracle).
+
+Determinism conventions: fixed-point money (integer cents), ISO date strings
+via identical format patterns, try_element_at (ANSI-safe), total-order
+tiebreaks everywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# §2.2 tokenization / segmentation
+# ---------------------------------------------------------------------------
+
+def q_t1_line_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 ordered line split (chase_visa_parser.py:58): posexplode keeps the
+    within-document position — the line_no the reference gets for free from
+    Python iteration order."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("line_no", "line"),
+    )
+
+
+_T1_ORACLE = """
+    SELECT doc_id, CAST(u.s.i - 1 AS INT) AS line_no, u.s.t AS line
+    FROM (SELECT doc_id,
+                 unnest(list_transform(string_split(text, ' '),
+                                       (t, i) -> {'t': t, 'i': i})) AS s
+          FROM documents WHERE doc_id < 200) u
+"""
+
+
+def q_t3_block_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 multi-line record assembly (wellsfargo_bank_parser.py:204-221):
+    block id = cumulative count of block-start rows (gap>1h boundary), then
+    gather the block's lines in order into one record. The groupBy sorts
+    struct(ts, event_id) inside the collected array — deterministic without a
+    second shuffle (collect_list order is not guaranteed; the sort is)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch, 1).over(w)
+    is_new = F.when(gap.isNull() | (gap > 3600), 1).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    blocks = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum(is_new).over(wsum).cast("long").alias("block_id"),
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+        lambda x: x["event_type"],
+    )
+    return blocks.groupBy("user_id", "block_id").agg(
+        F.array_join(ordered, " ").alias("block_text"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+_T3_ORACLE = """
+    WITH g AS (
+      SELECT user_id, event_id, ts, event_type,
+             epoch(ts) - lag(epoch(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events),
+    b AS (
+      SELECT user_id, event_id, ts, event_type,
+             CAST(SUM(CASE WHEN gap IS NULL OR gap > 3600 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS block_id
+      FROM g)
+    SELECT user_id, block_id,
+           string_agg(event_type, ' ' ORDER BY ts, event_id) AS block_text,
+           COUNT(*) AS n_lines
+    FROM b GROUP BY user_id, block_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.4 scalar rules (render -> recover round-trips)
+# ---------------------------------------------------------------------------
+
+def _cents(col) -> F.Column:
+    return F.floor(col * 100 + F.lit(0.5)).cast("long")
+
+
+def q_r4_amount_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 amount cleaning (wellsfargo_mastercard_parser.py:588-589): render
+    '$1,234.56'-style strings from integer cents, then strip [$,] and cast
+    back. The render inserts a thousands comma so the strip is load-bearing."""
+    part = _t(spark, sf_dir, "part")
+    cents = _cents(F.col("p_retailprice"))
+    whole = (cents / 100).cast("long")
+    frac = F.lpad((cents % 100).cast("string"), 2, "0")
+    raw = F.concat(
+        F.lit("$"),
+        F.when(whole >= 1000, F.concat((whole / 1000).cast("long").cast("string"), F.lit(","), F.lpad((whole % 1000).cast("string"), 3, "0"))).otherwise(whole.cast("string")),
+        F.lit("."),
+        frac,
+    )
+    cleaned = F.regexp_replace(raw, r"[$,]", "").cast("decimal(12,2)")
+    return part.select(
+        "p_partkey", raw.alias("raw_amount"), cleaned.cast("double").alias("amount")
+    )
+
+
+_R4_ORACLE = """
+    WITH c AS (
+      SELECT p_partkey,
+             CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM part),
+    r AS (
+      SELECT p_partkey,
+             '$' ||
+             CASE WHEN cents // 100 >= 1000
+                  THEN CAST((cents // 100) // 1000 AS VARCHAR) || ',' ||
+                       lpad(CAST((cents // 100) % 1000 AS VARCHAR), 3, '0')
+                  ELSE CAST(cents // 100 AS VARCHAR) END
+             || '.' || lpad(CAST(cents % 100 AS VARCHAR), 2, '0') AS raw_amount
+      FROM c)
+    SELECT p_partkey, raw_amount,
+           CAST(CAST(regexp_replace(raw_amount, '[$,]', '', 'g') AS DECIMAL(12,2))
+                AS DOUBLE) AS amount
+    FROM r
+"""
+
+
+def q_r8_year_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8 Dec/Jan year-boundary repair (chase_visa_parser.py:101-110): a
+    txn month of 12 on a January statement belongs to the PREVIOUS year."""
+    orders = _t(spark, sf_dir, "orders")
+    stmt_y, stmt_m = F.year("o_orderdate"), F.month("o_orderdate")
+    txn_m = ((stmt_m + 10) % 12) + 1  # previous calendar month
+    y = F.when((stmt_m == 1) & (txn_m == 12), stmt_y - 1).otherwise(stmt_y)
+    iso = F.date_format(F.make_date(y, txn_m, F.lit(15)), "yyyy-MM-dd")
+    return orders.select("o_orderkey", iso.alias("txn_date"))
+
+
+_R8_ORACLE = """
+    WITH t AS (
+      SELECT o_orderkey, year(o_orderdate) AS sy, month(o_orderdate) AS sm,
+             ((month(o_orderdate) + 10) % 12) + 1 AS tm
+      FROM orders)
+    SELECT o_orderkey,
+           strftime(make_date(CASE WHEN sm = 1 AND tm = 12 THEN sy - 1 ELSE sy END,
+                              tm, 15), '%Y-%m-%d') AS txn_date
+    FROM t
+"""
+
+
+def q_r9_statement_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9 statement-period extraction (utils/utils.py:142-262): render the
+    'Statement Period MM/DD/YYYY to MM/DD/YYYY' line, recover both dates via
+    a 2-group regex."""
+    orders = _t(spark, sf_dir, "orders")
+    line = F.concat(
+        F.lit("Statement Period "),
+        F.date_format("o_orderdate", "MM/dd/yyyy"),
+        F.lit(" to "),
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "MM/dd/yyyy"),
+    )
+    pat = r"Statement Period (\d{2}/\d{2}/\d{4}) to (\d{2}/\d{2}/\d{4})"
+    return orders.select(
+        "o_orderkey",
+        F.regexp_extract(line, pat, 1).alias("period_start"),
+        F.regexp_extract(line, pat, 2).alias("period_end"),
+    )
+
+
+_R9_ORACLE = r"""
+    WITH t AS (
+      SELECT o_orderkey,
+             'Statement Period ' || strftime(o_orderdate, '%m/%d/%Y') || ' to '
+               || strftime(CAST(o_orderdate AS DATE) + 30, '%m/%d/%Y') AS line
+      FROM orders)
+    SELECT o_orderkey,
+           regexp_extract(line, 'Statement Period (\d{2}/\d{2}/\d{4}) to (\d{2}/\d{2}/\d{4})', 1)
+             AS period_start,
+           regexp_extract(line, 'Statement Period (\d{2}/\d{2}/\d{4}) to (\d{2}/\d{2}/\d{4})', 2)
+             AS period_end
+    FROM t
+"""
+
+
+def q_r12_account_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R12 account-number extraction (chase_visa_parser.py:133-135): capture
+    the digit/space run after the label, then strip internal spaces."""
+    cust = _t(spark, sf_dir, "customer")
+    line = F.concat(
+        F.lit("Account Number: "),
+        F.col("c_custkey").cast("string"),
+        F.lit(" "),
+        F.col("c_nationkey").cast("string"),
+        F.lit(" END"),
+    )
+    acct = F.regexp_replace(
+        F.regexp_extract(line, r"Account Number:?\s*([\d\s]+)", 1), r"\s", ""
+    )
+    return cust.select("c_custkey", acct.alias("account_number"))
+
+
+_R12_ORACLE = r"""
+    WITH t AS (
+      SELECT c_custkey,
+             'Account Number: ' || CAST(c_custkey AS VARCHAR) || ' '
+               || CAST(c_nationkey AS VARCHAR) || ' END' AS line
+      FROM customer)
+    SELECT c_custkey,
+           regexp_replace(regexp_extract(line, 'Account Number:?\s*([\d\s]+)', 1),
+                          '\s', '', 'g') AS account_number
+    FROM t
+"""
+
+
+def q_r24_interest_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R24 INTEREST CREDIT date rule (transaction_normalizer.py:67-93):
+    flagged rows take the statement END date (last day of month) instead of
+    their own date."""
+    orders = _t(spark, sf_dir, "orders")
+    stmt_end = F.last_day(F.col("o_orderdate").cast("date"))
+    picked = F.when(F.col("o_orderstatus") == "P", stmt_end).otherwise(
+        F.col("o_orderdate").cast("date")
+    )
+    return orders.select(
+        "o_orderkey", F.date_format(picked, "yyyy-MM-dd").alias("txn_date")
+    )
+
+
+_R24_ORACLE = """
+    SELECT o_orderkey,
+           strftime(CASE WHEN o_orderstatus = 'P'
+                         THEN last_day(CAST(o_orderdate AS DATE))
+                         ELSE CAST(o_orderdate AS DATE) END, '%Y-%m-%d') AS txn_date
+    FROM orders
+"""
+
+
+def q_r18_allcaps_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R18 ALL-CAPS name-run capture (chase_checking.py:320-364): extract
+    capital-letter runs (>=3) from a rendered header line; first run kept."""
+    part = _t(spark, sf_dir, "part")
+    line = F.concat(F.upper("p_name"), F.lit(" sold by "), F.col("p_brand"))
+    runs = F.regexp_extract_all(line, F.lit(r"[A-Z]{3,}"), 0)
+    return part.select(
+        "p_partkey",
+        F.size(runs).cast("long").alias("n_runs"),
+        F.try_element_at(runs, F.lit(1)).alias("first_run"),
+    )
+
+
+_R18_ORACLE = """
+    WITH t AS (
+      SELECT p_partkey,
+             regexp_extract_all(upper(p_name) || ' sold by ' || p_brand,
+                                '[A-Z]{3,}') AS runs
+      FROM part)
+    SELECT p_partkey, CAST(len(runs) AS BIGINT) AS n_runs, runs[1] AS first_run
+    FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.1 sources / §2.5 routing / §2.8 truncation
+# ---------------------------------------------------------------------------
+
+def q_s4_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 CSV field parse (capitalone_csv_parser.py:113-116): render a csv
+    line, split positionally, coerce types (try_cast = errors='coerce')."""
+    cust = _t(spark, sf_dir, "customer")
+    cents = _cents(F.col("c_acctbal"))
+    a = F.abs(cents)
+    bal_str = F.concat(
+        F.when(cents < 0, F.lit("-")).otherwise(F.lit("")),
+        (a / 100).cast("long").cast("string"),
+        F.lit("."),
+        F.lpad((a % 100).cast("string"), 2, "0"),
+    )
+    line = F.concat_ws(
+        ",", F.col("c_custkey").cast("string"), F.col("c_name"), bal_str, F.col("c_mktsegment")
+    )
+    f = F.split(line, ",")
+    return cust.select(
+        F.try_element_at(f, F.lit(1)).cast("long").alias("custkey"),
+        F.try_element_at(f, F.lit(2)).alias("name"),
+        F.try_element_at(f, F.lit(3)).cast("double").alias("balance"),
+        F.try_element_at(f, F.lit(4)).alias("segment"),
+    )
+
+
+_S4_ORACLE = """
+    WITH t AS (
+      SELECT CAST(c_custkey AS VARCHAR) || ',' || c_name || ',' ||
+             (CASE WHEN FLOOR(c_acctbal * 100 + 0.5) < 0 THEN '-' ELSE '' END
+              || CAST(abs(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) // 100 AS VARCHAR)
+              || '.' ||
+              lpad(CAST(abs(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) % 100 AS VARCHAR), 2, '0'))
+             || ',' || c_mktsegment AS line
+      FROM customer),
+    s AS (SELECT string_split(line, ',') AS f FROM t)
+    SELECT CAST(f[1] AS BIGINT) AS custkey, f[2] AS name,
+           CAST(f[3] AS DOUBLE) AS balance, f[4] AS segment
+    FROM s
+"""
+
+
+def q_s_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events props column (open-schema
+    'extra' dict of the reference, models.py:5-30) — stays JVM-side."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+_SJSON_ORACLE = """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+"""
+
+
+def q_j5_keyword_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 longest-keyword-first routing (tests/test_all_parsers_on_folder.py:
+    34-57): when-chain ordered by keyword length desc (ties alphabetical)."""
+    part = _t(spark, sf_dir, "part")
+    target = F.lower(F.concat_ws(" ", "p_brand", "p_type", "p_name"))
+    route = (
+        F.when(target.contains("standard"), F.lit("route_standard"))
+        .when(target.contains("economy"), F.lit("route_economy"))
+        .when(target.contains("medium"), F.lit("route_medium"))
+        .when(target.contains("large"), F.lit("route_large"))
+        .when(target.contains("small"), F.lit("route_small"))
+        .otherwise(F.lit("route_default"))
+    )
+    return part.select("p_partkey", route.alias("route"))
+
+
+_J5_ORACLE = """
+    WITH t AS (
+      SELECT p_partkey,
+             lower(p_brand || ' ' || p_type || ' ' || p_name) AS target
+      FROM part)
+    SELECT p_partkey,
+           CASE WHEN target LIKE '%standard%' THEN 'route_standard'
+                WHEN target LIKE '%economy%' THEN 'route_economy'
+                WHEN target LIKE '%medium%' THEN 'route_medium'
+                WHEN target LIKE '%large%' THEN 'route_large'
+                WHEN target LIKE '%small%' THEN 'route_small'
+                ELSE 'route_default' END AS route
+    FROM t
+"""
+
+
+def q_o2_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 truncation/limits (amazon_pdf_parser.py:88-89 first-3 lines;
+    wellsfargo_visa last-40 coupon scan): head-k tokens, char prefix,
+    tail-k tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    first3 = F.array_join(F.slice(toks, 1, 3), " ")
+    last2 = F.array_join(
+        F.slice(toks, F.greatest(F.size(toks) - 1, F.lit(1)), 2), " "
+    )
+    return docs.select(
+        "doc_id",
+        first3.alias("first3"),
+        F.substring("text", 1, 40).alias("prefix40"),
+        last2.alias("last2"),
+    )
+
+
+_O2_ORACLE = """
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           array_to_string(toks[1:3], ' ') AS first3,
+           substr(text, 1, 40) AS prefix40,
+           array_to_string(toks[greatest(len(toks) - 1, 1):len(toks)], ' ') AS last2
+    FROM t
+"""
+
+
+QUERIES_EXT2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "t1_line_split": q_t1_line_split,
+    "t3_block_assembly": q_t3_block_assembly,
+    "r4_amount_clean": q_r4_amount_clean,
+    "r8_year_boundary": q_r8_year_boundary,
+    "r9_statement_period": q_r9_statement_period,
+    "r12_account_number": q_r12_account_number,
+    "r24_interest_credit": q_r24_interest_credit,
+    "r18_allcaps_runs": q_r18_allcaps_runs,
+    "s4_csv_parse": q_s4_csv_parse,
+    "s_json_extract": q_s_json_extract,
+    "j5_keyword_routing": q_j5_keyword_routing,
+    "o2_truncation": q_o2_truncation,
+}
+
+ORACLES_EXT2: dict[str, str] = {
+    "t1_line_split": _T1_ORACLE,
+    "t3_block_assembly": _T3_ORACLE,
+    "r4_amount_clean": _R4_ORACLE,
+    "r8_year_boundary": _R8_ORACLE,
+    "r9_statement_period": _R9_ORACLE,
+    "r12_account_number": _R12_ORACLE,
+    "r24_interest_credit": _R24_ORACLE,
+    "r18_allcaps_runs": _R18_ORACLE,
+    "s4_csv_parse": _S4_ORACLE,
+    "s_json_extract": _SJSON_ORACLE,
+    "j5_keyword_routing": _J5_ORACLE,
+    "o2_truncation": _O2_ORACLE,
+}
