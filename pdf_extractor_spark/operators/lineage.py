@@ -1,0 +1,174 @@
+"""Lineage / checkpoint table + idempotent resume (SURVEY.md §2.10 ST1-ST4).
+
+Generalizes the reference's row-offset checkpoint (scripts/grok.py:335-375,
+540-556: state.json {last_processed_row} + batch_{i}_{j}.csv) to the unit of
+work that exists at 10^12-turn scale: the INPUT FILE (Iceberg data file /
+parquet split). For every processed source file the job appends one lineage
+row: run id, snapshot id, file, row counts, per-rule hit metrics, status.
+
+Idempotency contract (crash between output and lineage writes is the failure
+mode that matters):
+  1. extracted output is written FIRST, partitioned by ``src_key`` with
+     dynamic partition overwrite — replaying a file atomically REPLACES its
+     own output partition and touches nothing else;
+  2. the lineage row is appended LAST (commit point);
+  3. resume = anti-join the input file list against lineage rows with
+     status='done' — only files whose commit never landed are reprocessed.
+So any prefix of a crashed run is safe to re-run, and re-running a complete
+run is a no-op. On Iceberg both writes collapse into one transaction; the
+two-phase order here gives the same guarantee on plain parquet.
+
+Scale notes: the lineage table stays tiny (one row per input file — ~10^6
+rows for 100 TB), so the anti-join broadcasts it; metrics aggregation is a
+map-side partial agg keyed by src_key (bounded fanout: #files x #rules).
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..rules.oracle import extract_turn
+from ..schema import EXTRACTED_TURNS, TRANSCRIPTS
+
+EXTRACTED_WITH_SRC = T.StructType(
+    [T.StructField("src_key", T.StringType(), False), *EXTRACTED_TURNS.fields]
+)
+
+
+def _extract_batches_with_src(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body carrying the source-file key through extraction."""
+    for pdf in batches:
+        results = [extract_turn(t) for t in pdf["text"]]
+        yield pd.DataFrame(
+            {
+                "src_key": pdf["src_key"].values,
+                "conv_id": pdf["conv_id"].values,
+                "turn_idx": pdf["turn_idx"].astype("int32").values,
+                "family": [r.family for r in results],
+                "extracted_text": [r.extracted_text for r in results],
+                "spans": [
+                    [{"start": s, "end": e, "kind": k} for (s, e, k) in r.spans]
+                    for r in results
+                ],
+                "rule_hits": [r.rule_hits for r in results],
+                "n_records": pd.array([r.n_records for r in results], dtype="int32"),
+                "valid": [r.valid for r in results],
+                "problem_reason": [r.problem_reason for r in results],
+            }
+        )
+
+
+def src_key_col() -> F.Column:
+    """Stable per-file key: the file NAME (not full path) so the key survives
+    directory moves; parquet part names are unique within a table."""
+    return F.element_at(F.split(F.input_file_name(), "/"), -1)
+
+
+def list_input_files(spark: SparkSession, input_dir: str) -> DataFrame:
+    """One row per data file of the input table — the resume work unit."""
+    return (
+        spark.read.schema(TRANSCRIPTS)
+        .parquet(input_dir)
+        .select(src_key_col().alias("src_key"))
+        .distinct()
+    )
+
+
+def completed_files(spark: SparkSession, lineage_dir: str) -> DataFrame:
+    """src_keys whose lineage commit landed (status='done')."""
+    try:
+        lin = spark.read.parquet(lineage_dir)
+    except Exception:
+        return spark.createDataFrame([], "src_key string")
+    return (
+        lin.where(F.col("status") == "done")
+        .select(F.col("partition_range").alias("src_key"))
+        .distinct()
+    )
+
+
+def pending_files(spark: SparkSession, input_dir: str, lineage_dir: str) -> DataFrame:
+    """ST1 resume: input files anti-joined against completed lineage rows.
+    The completed side is tiny -> broadcast anti-join, no shuffle of input."""
+    return list_input_files(spark, input_dir).join(
+        F.broadcast(completed_files(spark, lineage_dir)), "src_key", "left_anti"
+    )
+
+
+def run_incremental(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    lineage_dir: str,
+    run_id: str,
+    snapshot_id: str = "local",
+) -> dict:
+    """Process only pending input files; write extracted output (dynamic
+    partition overwrite by src_key) then commit lineage rows. Returns summary
+    counts. Safe to call repeatedly / after a crash at any point."""
+    pend = [r.src_key for r in pending_files(spark, input_dir, lineage_dir).collect()]
+    if not pend:
+        return {"files": 0, "rows": 0}
+
+    transcripts = (
+        spark.read.schema(TRANSCRIPTS)
+        .parquet(input_dir)
+        .withColumn("src_key", src_key_col())
+        .where(F.col("src_key").isin(pend))
+    )
+    extracted = transcripts.select(
+        "src_key", "conv_id", "turn_idx", "text"
+    ).mapInPandas(_extract_batches_with_src, schema=EXTRACTED_WITH_SRC)
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    extracted.write.mode("overwrite").partitionBy("src_key").parquet(output_dir)
+
+    # metrics from the WRITTEN output (what was committed, not what was
+    # planned): per-file row counts, valid counts, per-rule hit totals
+    out = spark.read.parquet(output_dir).where(F.col("src_key").isin(pend))
+    hits = (
+        out.select("src_key", F.explode_outer("rule_hits").alias("rule", "n"))
+        .where(F.col("rule").isNotNull())
+        .groupBy("src_key", "rule")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .groupBy("src_key")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("rule", "n")))
+            ).alias("rule_hit_metrics")
+        )
+    )
+    stats = out.groupBy("src_key").agg(
+        F.count("*").alias("row_count"),
+        F.sum(F.col("valid").cast("long")).alias("valid_count"),
+    )
+    lineage = (
+        stats.join(hits, "src_key", "left")
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(snapshot_id).alias("snapshot_id"),
+            F.pmod(F.crc32(F.col("src_key")), F.lit(2147483647)).cast("int").alias("partition_id"),
+            F.col("src_key").alias("partition_range"),
+            F.col("row_count").cast("long"),
+            F.col("valid_count").cast("long"),
+            F.coalesce(
+                "rule_hit_metrics",
+                F.map_from_entries(F.array().cast("array<struct<rule:string,n:long>>")),
+            ).alias("rule_hit_metrics"),
+            F.lit("done").alias("status"),
+        )
+    )
+    lineage.write.mode("append").parquet(lineage_dir)
+    n_rows = sum(r.row_count for r in stats.select("row_count").collect())
+    return {"files": len(pend), "rows": n_rows}
+
+
+def run_key(input_dir: str, snapshot_id: str) -> str:
+    """Deterministic run id from input identity (re-runs share lineage)."""
+    return f"run_{zlib.crc32(f'{input_dir}:{snapshot_id}'.encode()):08x}"

@@ -10,6 +10,10 @@ if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
 
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running end-to-end tests")
+
+
 @pytest.fixture(scope="session")
 def spark():
     from pdf_extractor_spark.session import get_spark

@@ -1,0 +1,94 @@
+"""Lineage/checkpoint + idempotent resume (operators/lineage.py, ST1-ST4).
+
+Scenarios:
+  1. fresh run processes every input file, output rows == input rows;
+  2. immediate re-run is a no-op (nothing pending, no duplicate output);
+  3. crash-before-commit (lineage row missing for one file) reprocesses ONLY
+     that file and the final output is still exactly-once;
+  4. lineage metrics reconcile with the output (row counts, valid counts).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from pdf_extractor_spark.operators.lineage import pending_files, run_incremental
+from pdf_extractor_spark.schema import TRANSCRIPTS
+from pdf_extractor_spark.sources.synth import generate_transcripts
+
+
+@pytest.fixture(scope="module")
+def dirs(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("lineage")
+    input_dir = str(base / "input")
+    pdf = generate_transcripts(n_convs=40, seed=42)
+    spark.createDataFrame(pdf, schema=TRANSCRIPTS).repartition(4).write.parquet(input_dir)
+    return {
+        "input": input_dir,
+        "output": str(base / "output"),
+        "lineage": str(base / "lineage"),
+        "n_rows": len(pdf),
+    }
+
+
+def test_fresh_run_processes_all(spark, dirs):
+    summary = run_incremental(
+        spark, dirs["input"], dirs["output"], dirs["lineage"], run_id="r1"
+    )
+    assert summary["files"] == 4
+    assert summary["rows"] == dirs["n_rows"]
+    out = spark.read.parquet(dirs["output"])
+    assert out.count() == dirs["n_rows"]
+    # exactly one output row per input (conv_id, turn_idx)
+    assert out.select("conv_id", "turn_idx").distinct().count() == dirs["n_rows"]
+
+
+def test_rerun_is_noop(spark, dirs):
+    assert pending_files(spark, dirs["input"], dirs["lineage"]).count() == 0
+    summary = run_incremental(
+        spark, dirs["input"], dirs["output"], dirs["lineage"], run_id="r2"
+    )
+    assert summary == {"files": 0, "rows": 0}
+    assert spark.read.parquet(dirs["output"]).count() == dirs["n_rows"]
+
+
+def test_crash_resume_reprocesses_only_missing(spark, dirs):
+    lin = spark.read.parquet(dirs["lineage"])
+    victim = lin.select("partition_range").orderBy("partition_range").first()[0]
+    survivors = lin.where(F.col("partition_range") != victim)
+    # simulate crash-before-commit: rewrite lineage without the victim's row
+    survivors.write.mode("overwrite").parquet(dirs["lineage"] + "_partial")
+    pend = pending_files(spark, dirs["input"], dirs["lineage"] + "_partial")
+    assert [r.src_key for r in pend.collect()] == [victim]
+    summary = run_incremental(
+        spark, dirs["input"], dirs["output"], dirs["lineage"] + "_partial", run_id="r3"
+    )
+    assert summary["files"] == 1
+    # replay overwrote the victim's partition: still exactly-once overall
+    out = spark.read.parquet(dirs["output"])
+    assert out.count() == dirs["n_rows"]
+    assert out.select("conv_id", "turn_idx").distinct().count() == dirs["n_rows"]
+
+
+def test_lineage_metrics_reconcile(spark, dirs):
+    lin = spark.read.parquet(dirs["lineage"])
+    out = spark.read.parquet(dirs["output"])
+    assert lin.agg(F.sum("row_count")).first()[0] == dirs["n_rows"]
+    assert (
+        lin.agg(F.sum("valid_count")).first()[0]
+        == out.where("valid").count()
+    )
+    assert lin.where(F.col("status") != "done").count() == 0
+    # per-rule hits in lineage == per-rule hits in output
+    lin_hits = (
+        lin.select(F.explode("rule_hit_metrics").alias("rule", "n"))
+        .groupBy("rule")
+        .agg(F.sum("n").alias("n"))
+    )
+    out_hits = (
+        out.select(F.explode("rule_hits").alias("rule", "n"))
+        .groupBy("rule")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    assert sorted(map(tuple, lin_hits.collect())) == sorted(map(tuple, out_hits.collect()))
