@@ -399,7 +399,160 @@ _O2_ORACLE = """
 """
 
 
+def q_p2_column_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 column-name standardization (utils/utils.py:18-26): lowercase,
+    \\W+ -> _, strip edges — applied to VALUES here so the rule itself is
+    value-checked cross-engine (the driver compares data, not headers;
+    the toDF-rename form lives in schema.standardize_columns)."""
+    cust = _t(spark, sf_dir, "customer")
+    std = F.regexp_replace(
+        F.regexp_replace(F.lower(F.concat(F.col("c_name"), F.lit(" #"), F.col("c_custkey"))), r"\W+", "_"),
+        r"^_+|_+$",
+        "",
+    )
+    return cust.select("c_custkey", std.alias("std_name"))
+
+
+_P2_ORACLE = r"""
+    SELECT c_custkey,
+           regexp_replace(
+             regexp_replace(lower(c_name || ' #' || CAST(c_custkey AS VARCHAR)),
+                            '\W+', '_', 'g'),
+             '^_+|_+$', '', 'g') AS std_name
+    FROM customer
+"""
+
+
+def q_p8_user_data_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 user-data detection predicate (clean_manifest.py:9-40): key contains
+    a sensitive term AND value not in the exclude set — over a constructed
+    key/value map (include/exclude term semantics preserved)."""
+    cust = _t(spark, sf_dir, "customer")
+    kv = F.create_map(
+        F.lit("customer_name"), F.col("c_name"),
+        F.lit("segment"), F.col("c_mktsegment"),
+        F.lit("address_zip"), F.when(F.col("c_custkey") % 3 == 0, F.lit("94111")).otherwise(F.lit("n/a")),
+    )
+    sensitive = F.exists(
+        F.map_entries(kv),
+        lambda e: (
+            e["key"].rlike("name|address|ssn|dob")
+            & ~e["value"].isin("n/a", "none", "")
+        ),
+    )
+    return cust.select("c_custkey", sensitive.alias("has_user_data"))
+
+
+_P8_ORACLE = """
+    SELECT c_custkey,
+           (
+             (regexp_matches('customer_name', 'name|address|ssn|dob')
+              AND c_name NOT IN ('n/a', 'none', ''))
+             OR (regexp_matches('segment', 'name|address|ssn|dob')
+                 AND c_mktsegment NOT IN ('n/a', 'none', ''))
+             OR (regexp_matches('address_zip', 'name|address|ssn|dob')
+                 AND (CASE WHEN c_custkey % 3 = 0 THEN '94111' ELSE 'n/a' END)
+                     NOT IN ('n/a', 'none', ''))
+           ) AS has_user_data
+    FROM customer
+"""
+
+
+def q_r10_date_from_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10 date-from-filename (utils/utils.py:129-139): render
+    'stmt_YYYYMMDD_<id>.pdf', recover the 8-digit run, parse to ISO."""
+    orders = _t(spark, sf_dir, "orders")
+    fname = F.concat(
+        F.lit("stmt_"),
+        F.date_format("o_orderdate", "yyyyMMdd"),
+        F.lit("_"),
+        F.col("o_orderkey").cast("string"),
+        F.lit(".pdf"),
+    )
+    d = F.try_to_timestamp(F.regexp_extract(fname, r"(\d{8})", 1), F.lit("yyyyMMdd"))
+    return orders.select(
+        "o_orderkey", F.date_format(d, "yyyy-MM-dd").alias("file_date")
+    )
+
+
+_R10_ORACLE = r"""
+    WITH t AS (
+      SELECT o_orderkey,
+             'stmt_' || strftime(o_orderdate, '%Y%m%d') || '_'
+               || CAST(o_orderkey AS VARCHAR) || '.pdf' AS fname
+      FROM orders)
+    SELECT o_orderkey,
+           strftime(try_strptime(regexp_extract(fname, '(\d{8})', 1), '%Y%m%d'),
+                    '%Y-%m-%d') AS file_date
+    FROM t
+"""
+
+
+def q_r25_key_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R25 key/label cleanup (amazon_parser.py:280-290 clean_keys +
+    organizer_extractor.py:25-36 garbage-label detect): strip ':', title-case,
+    flag garbage labels ('', '{}', 'None')."""
+    part = _t(spark, sf_dir, "part")
+    raw = F.when(F.col("p_partkey") % 7 == 0, F.lit("None")).otherwise(
+        F.concat(F.col("p_type"), F.lit(" label:"))
+    )
+    cleaned = F.initcap(F.lower(F.regexp_replace(raw, ":", "")))
+    garbage = cleaned.isin("", "{}", "None", "none") | (F.length(F.trim(cleaned)) == 0)
+    return part.select(
+        "p_partkey", cleaned.alias("clean_key"), garbage.alias("is_garbage")
+    )
+
+
+_R25_ORACLE = """
+    WITH t AS (
+      SELECT p_partkey,
+             CASE WHEN p_partkey % 7 = 0 THEN 'None'
+                  ELSE p_type || ' label:' END AS raw
+      FROM part),
+    c AS (SELECT p_partkey,
+                 list_aggr(list_transform(string_split(lower(replace(raw, ':', '')), ' '),
+                                          x -> upper(x[1]) || x[2:]),
+                           'string_agg', ' ') AS clean_key
+          FROM t)
+    SELECT p_partkey, clean_key,
+           (clean_key IN ('', '{}', 'None', 'none')
+            OR length(trim(clean_key)) = 0) AS is_garbage
+    FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal (rows-only gate entries: payload bytes are built by Python zlib,
+# so no DuckDB oracle can mirror them; tests/test_multimodal.py holds the
+# exact-value assertions)
+# ---------------------------------------------------------------------------
+
+def q_mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_media_features, synth_media
+
+    return extract_media_features(synth_media(spark, 120, seed=42))
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import frame_sample, synth_media
+
+    return frame_sample(synth_media(spark, 120, seed=42), every_n=24)
+
+
+def q_mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import resize_plan, synth_media
+
+    return resize_plan(synth_media(spark, 120, seed=42), 224, 224)
+
+
 QUERIES_EXT2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "mm_media_features": q_mm_media_features,
+    "mm_frame_sample": q_mm_frame_sample,
+    "mm_resize_plan": q_mm_resize_plan,
+    "p2_column_standardize": q_p2_column_standardize,
+    "p8_user_data_detect": q_p8_user_data_detect,
+    "r10_date_from_filename": q_r10_date_from_filename,
+    "r25_key_cleanup": q_r25_key_cleanup,
     "t1_line_split": q_t1_line_split,
     "t3_block_assembly": q_t3_block_assembly,
     "r4_amount_clean": q_r4_amount_clean,
@@ -415,6 +568,10 @@ QUERIES_EXT2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_EXT2: dict[str, str] = {
+    "p2_column_standardize": _P2_ORACLE,
+    "p8_user_data_detect": _P8_ORACLE,
+    "r10_date_from_filename": _R10_ORACLE,
+    "r25_key_cleanup": _R25_ORACLE,
     "t1_line_split": _T1_ORACLE,
     "t3_block_assembly": _T3_ORACLE,
     "r4_amount_clean": _R4_ORACLE,
