@@ -39,9 +39,11 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping",
     "a5_dedup_exact",
+    "dedup_minhash_lsh",
     "w6_sessionize",
     "text_quality_score",
     "sim_bruteforce_topk",
+    "sim_ivf_topk",
 ]
 
 
