@@ -56,6 +56,42 @@ def rolling_fingerprint_sql(expr: str, k: int = 8) -> str:
     )
 
 
+# R13 strip list in reference order (transaction_normalizer.py:390-399);
+# mirrors rules/textnorm.py — (?i) inline flag works in both Java and Python
+REF_STRIP_PATTERNS = (
+    r"(?i)POS DEBIT \d+",
+    r"(?i)ACH DEBIT \d+",
+    r"(?i)ACH CREDIT \d+",
+    r"(?i)POS CREDIT \d+",
+    r"(?i)\d{4}\*",
+    r"(?i)REF\s*\d+",
+    r"(?i)TRANS\s*\d+",
+    r"(?i)PURCHASE AUTH \d+",
+)
+
+
+def normalize_description_expr(col: Column) -> Column:
+    """Native-expression tier of R13+R15+R14 (rules/textnorm.py
+    normalize_description): whole-stage-codegen, zero Python.
+
+    Parity domain: printable-ASCII + NBSP + control chars — the reference's
+    actual input domain. OUTSIDE it (exotic unicode whitespace like \\u2028)
+    Java's ``\\s`` is ASCII-only while Python's is unicode-aware; the
+    pandas-UDF tier (rules/textnorm.py) is authoritative there, per SURVEY
+    §7.8 mitigation ("demote any mismatching rule to the UDF tier"). The
+    property test (tests/test_property_parity.py) pins the in-domain parity.
+    """
+    # NBSP first: Java \s is ASCII-only while Python's \s matches NBSP, so
+    # folding it to a plain space up front makes the \s-bearing patterns agree
+    s = F.regexp_replace(col, "\u00a0", " ")
+    for pat in REF_STRIP_PATTERNS:
+        s = F.regexp_replace(s, pat, "")
+    s = F.regexp_replace(s, r"XXXXXXXXXXXX\d+", "")  # R15 masked card
+    s = F.regexp_replace(s, r"\s+\d+\s*$", "")  # R15 trailing ref run
+    s = F.regexp_replace(s, r"\s+", " ")  # R14 collapse
+    return F.trim(s)
+
+
 def token_sort_key(col: Column) -> Column:
     """token_sort normalization (rapidfuzz token_sort_ratio's first half):
     lowercase, split, sort tokens, rejoin."""

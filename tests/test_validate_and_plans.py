@@ -1,0 +1,73 @@
+"""Validity split + observe() metrics, and physical-plan regression guards
+(the plan properties SURVEY §4 relies on must not silently regress)."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from pdf_extractor_spark.operators.extract import extract_turns
+from pdf_extractor_spark.operators.validate import split_extracted
+from pdf_extractor_spark.schema import TRANSCRIPTS
+from pdf_extractor_spark.sources.synth import generate_transcripts
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def extracted(spark):
+    pdf = generate_transcripts(n_convs=30, seed=42)
+    return extract_turns(spark.createDataFrame(pdf, schema=TRANSCRIPTS))
+
+
+def test_split_partitions_completely(spark, extracted):
+    s = split_extracted(extracted)
+    n_valid, n_quar, n_all = s.valid.count(), s.quarantine.count(), extracted.count()
+    assert n_valid + n_quar == n_all
+    assert s.quarantine.where(F.col("problem_reason").isNull()).count() == 0
+    m = s.observation.get
+    assert m["n_turns"] == n_all
+    assert m["n_valid"] == n_valid
+    assert m["n_records"] >= m["n_turns_with_hits"] > 0
+
+
+def _plan(spark, name: str) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        entrymod.queries()[name](spark, SF).explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    p = _plan(spark, "p4_amount_threshold")
+    assert "GreaterThanOrEqual(o_totalprice,150000.0)" in p  # PushedFilters
+    assert "o_comment" not in p  # column pruning
+
+
+def test_q3_broadcasts_dims_and_prunes(spark):
+    p = _plan(spark, "tpch_q3_shipping")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+    # fact scan reads exactly the 3 needed columns
+    assert "struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>" in p
+
+
+def test_extraction_plan_has_no_shuffle(spark, extracted):
+    # stateless per-turn extraction must be a narrow pipeline: no Exchange
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        extracted.explain("formatted")
+    p = buf.getvalue()
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" in p or "MapInPandas" in p
+
+
+def test_minhash_join_keys_are_small(spark):
+    # the LSH band join must join on (band_id, key) only — never on token
+    # arrays or text; candidate side carries just ids + 32-char keys
+    p = _plan(spark, "dedup_minhash_lsh")
+    assert "band_id" in p and "key" in p
