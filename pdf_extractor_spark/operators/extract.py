@@ -57,11 +57,7 @@ def extract_turns(transcripts: DataFrame, salt_partitions: int | None = None) ->
     """
     cols = transcripts.select("conv_id", "turn_idx", "text")
     if salt_partitions:
-        from pyspark.sql import functions as F
+        from .order import salted
 
-        cols = cols.repartition(
-            salt_partitions,
-            F.col("conv_id"),
-            F.pmod(F.hash(F.col("turn_idx")), F.lit(16)),
-        )
+        cols = salted(cols, salt_partitions)
     return cols.mapInPandas(_extract_batches, schema=EXTRACTED_TURNS)

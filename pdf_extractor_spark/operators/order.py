@@ -37,11 +37,21 @@ def with_sequential_id(df: DataFrame, order_cols: list[str] | None = None) -> Da
     return df.withColumn("seq_id", F.row_number().over(w))
 
 
-def salted(df: DataFrame, n_partitions: int, salt_buckets: int = 16) -> DataFrame:
-    """Salted repartition: (conv_id, pmod(hash(turn_idx), S)) spreads a
-    power-law conversation across S partitions (SURVEY §4 skew row)."""
+def salted(df: DataFrame, n_partitions: int, salt_buckets: int | None = None) -> DataFrame:
+    """Salted repartition: (conv_id, pmod(hash(conv_id, turn_idx), S)) spreads
+    a power-law conversation across partitions (SURVEY §4 skew row).
+
+    S defaults to 8x the partition count: the salt keys themselves are
+    hash-partitioned, so with S == n_partitions the balls-into-bins collision
+    puts ~2 keys in some partitions and 0 in others; S >> n_partitions
+    smooths that to a bounded (<2x mean) imbalance. For FULLY stateless
+    per-turn work, plain round-robin ``repartition(n)`` is even flatter —
+    use salting when a downstream stage regroups by conv_id and benefits
+    from partial conv locality."""
+    if salt_buckets is None:
+        salt_buckets = 8 * n_partitions
     return df.repartition(
         n_partitions,
         F.col("conv_id"),
-        F.pmod(F.hash(F.col("turn_idx")), F.lit(salt_buckets)),
+        F.pmod(F.hash(F.col("conv_id"), F.col("turn_idx")), F.lit(salt_buckets)),
     )
