@@ -399,6 +399,126 @@ _O2_ORACLE = """
 """
 
 
+def q_r1_transaction_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 transaction-line match (chase_visa_parser.py:50-91): render
+    'MM/DD DESC... AMOUNT' lines, recover (date, desc, amount) by the
+    reference's token shape — date prefix regex + last-token amount."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = _cents(F.col("o_totalprice"))
+    amt = F.concat(
+        (cents / 100).cast("long").cast("string"),
+        F.lit("."),
+        F.lpad((cents % 100).cast("string"), 2, "0"),
+    )
+    line = F.concat(
+        F.date_format("o_orderdate", "MM/dd"),
+        F.lit(" ORDER "),
+        F.col("o_orderpriority"),
+        F.lit(" "),
+        amt,
+    )
+    toks = F.split(line, " ")
+    date_ok = F.regexp_extract(line, r"^(\d{2}/\d{2}) ", 1)
+    amount_tok = F.element_at(toks, -1)
+    amount_ok = F.when(
+        amount_tok.rlike(r"^-?[\d,]+\.\d{2}$"),
+        F.regexp_replace(amount_tok, ",", "").cast("decimal(12,2)").cast("double"),
+    )
+    desc = F.array_join(F.slice(toks, 2, F.size(toks) - 2), " ")
+    return orders.select(
+        "o_orderkey",
+        date_ok.alias("txn_mmdd"),
+        desc.alias("description"),
+        amount_ok.alias("amount"),
+    )
+
+
+_R1_ORACLE = r"""
+    WITH c AS (
+      SELECT o_orderkey, o_orderpriority, o_orderdate,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    r AS (
+      SELECT o_orderkey,
+             strftime(o_orderdate, '%m/%d') || ' ORDER ' || o_orderpriority || ' '
+               || (CAST(cents // 100 AS VARCHAR) || '.'
+                   || lpad(CAST(cents % 100 AS VARCHAR), 2, '0')) AS line
+      FROM c),
+    s AS (SELECT o_orderkey, line, string_split(line, ' ') AS toks FROM r)
+    SELECT o_orderkey,
+           regexp_extract(line, '^(\d{2}/\d{2}) ', 1) AS txn_mmdd,
+           array_to_string(toks[2:len(toks)-1], ' ') AS description,
+           CASE WHEN regexp_matches(toks[len(toks)], '^-?[\d,]+\.\d{2}$')
+                THEN CAST(CAST(replace(toks[len(toks)], ',', '') AS DECIMAL(12,2)) AS DOUBLE)
+                END AS amount
+    FROM s
+"""
+
+
+def q_r6_payment_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 payment-keyword classification (wellsfargo_mastercard_parser.py:
+    286-290): credit iff the description carries a payment phrase."""
+    ev = _t(spark, sf_dir, "events")
+    desc = F.upper(F.concat_ws(" ", "event_type", "props"))
+    ttype = F.when(
+        desc.contains("SIGNUP") | desc.contains("PURCHASE"), F.lit("credit")
+    ).otherwise(F.lit("charge"))
+    return ev.select("event_id", ttype.alias("ttype"))
+
+
+_R6_ORACLE = """
+    SELECT event_id,
+           CASE WHEN upper(event_type || ' ' || props) LIKE '%SIGNUP%'
+                  OR upper(event_type || ' ' || props) LIKE '%PURCHASE%'
+                THEN 'credit' ELSE 'charge' END AS ttype
+    FROM events
+"""
+
+
+def q_t5_capture_between_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 capture-between-markers (amazon_parser.py:162-185): render a
+    marker-framed block, recover the inner span with a lazy group."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    framed = F.concat(
+        F.lit("HEADER junk Items Ordered "),
+        F.substring("text", 1, 80),
+        F.lit(" Shipping Address: tail"),
+    )
+    inner = F.regexp_extract(framed, r"Items Ordered (.*?) Shipping Address:", 1)
+    return docs.select("doc_id", inner.alias("captured"))
+
+
+_T5_ORACLE = """
+    SELECT doc_id,
+           regexp_extract('HEADER junk Items Ordered ' || substr(text, 1, 80)
+                            || ' Shipping Address: tail',
+                          'Items Ordered (.*?) Shipping Address:', 1) AS captured
+    FROM documents WHERE doc_id < 300
+"""
+
+
+def q_pipeline_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship extraction pipeline itself (rows-only gate entry: the
+    rule library is Python-tier by design; goldens carry the exact-value
+    check). Input = transcripts deterministically derived from documents."""
+    import __spark_entry__ as entrymod
+
+    from ..operators.extract import extract_turns
+    from ..operators.order import stable_turn_order
+
+    transcripts = entrymod._transcripts_from_documents(spark, sf_dir)
+    return stable_turn_order(extract_turns(transcripts))
+
+
+def q_pipeline_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 split over the flagship output (rows-only): quarantined turns with
+    reasons — the problem_rows relation of the reference."""
+    from ..operators.validate import split_extracted
+
+    split = split_extracted(q_pipeline_extract(spark, sf_dir), cache=False)
+    return split.quarantine.select("conv_id", "turn_idx", "problem_reason")
+
+
 def q_p2_column_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 column-name standardization (utils/utils.py:18-26): lowercase,
     \\W+ -> _, strip edges — applied to VALUES here so the rule itself is
@@ -553,6 +673,11 @@ QUERIES_EXT2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p8_user_data_detect": q_p8_user_data_detect,
     "r10_date_from_filename": q_r10_date_from_filename,
     "r25_key_cleanup": q_r25_key_cleanup,
+    "r1_transaction_line": q_r1_transaction_line,
+    "r6_payment_classification": q_r6_payment_classification,
+    "t5_capture_between_markers": q_t5_capture_between_markers,
+    "pipeline_extract": q_pipeline_extract,
+    "pipeline_quarantine": q_pipeline_quarantine,
     "t1_line_split": q_t1_line_split,
     "t3_block_assembly": q_t3_block_assembly,
     "r4_amount_clean": q_r4_amount_clean,
@@ -569,6 +694,9 @@ QUERIES_EXT2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES_EXT2: dict[str, str] = {
     "p2_column_standardize": _P2_ORACLE,
+    "r1_transaction_line": _R1_ORACLE,
+    "r6_payment_classification": _R6_ORACLE,
+    "t5_capture_between_markers": _T5_ORACLE,
     "p8_user_data_detect": _P8_ORACLE,
     "r10_date_from_filename": _R10_ORACLE,
     "r25_key_cleanup": _R25_ORACLE,
