@@ -19,6 +19,7 @@ _WF_CHECKING_ROW = re.compile(r"^\d{1,2}/\d{1,2}/\d{4},-?[\d.]+,\*,,", re.MULTIL
 
 # (family, predicate) in registration order — first match wins.
 DETECTION_ORDER: tuple[str, ...] = (
+    "html_page",
     "wf_mastercard",
     "wf_visa",
     "bofa_bank",
@@ -43,6 +44,10 @@ def detect_family(text: str) -> str:
     way real statements do.
     """
     low = text.lower()
+    from .html import looks_like_html
+
+    if looks_like_html(text):
+        return "html_page"
     if "transpostreference number description credits charges" in low:
         return "wf_mastercard"
     if "total payments for this period" in low:

@@ -658,6 +658,19 @@ def extract_ledger_rows(text: str) -> ExtractResult:
     return ExtractResult(records, hits, None)
 
 
+# --- html main-content path ---------------------------------------------------
+
+
+def extract_html_page(text: str) -> ExtractResult:
+    """HTML boilerplate strip (rules/html.py): DOM-lite tokenize, drop
+    script/style/comments, classify lines by text density + link density,
+    keep main content. The north-rule DOM-heuristic component."""
+    from .html import extract_main_content
+
+    kept, hits = extract_main_content(text)
+    return ExtractResult([], hits, kept)
+
+
 # --- freeform main-content path ----------------------------------------------
 
 
@@ -693,5 +706,6 @@ EXTRACTORS = {
     "noisy_desc": extract_noisy_desc,
     "date_edges": extract_date_edges,
     "ledger_rows": extract_ledger_rows,
+    "html_page": extract_html_page,
     "freeform": extract_freeform,
 }

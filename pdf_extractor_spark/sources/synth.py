@@ -258,6 +258,25 @@ def gen_ledger_rows(rng: random.Random) -> str:
     return "\n".join(lines)
 
 
+def gen_html_page(rng: random.Random) -> str:
+    """HTML page: link-dense nav chrome, script/style noise, entity escapes,
+    and real paragraph content — exercises the DOM-heuristic family."""
+    nav = " ".join(
+        f'<a href="/{w}">{w}</a>' for w in ("home", "products", "pricing", "about")[: rng.randint(2, 4)]
+    )
+    paras = "".join(
+        f"<p>{rng.choice(_WORDS)} &amp; {rng.choice(_WORDS)}</p>"
+        for _ in range(rng.randint(1, 3))
+    )
+    script = "<script>var x = 1; tracker('pageview');</script>" if rng.random() < 0.6 else ""
+    footer = '<footer><a href="/tos">terms</a> <a href="/privacy">privacy</a> &copy; 2024</footer>'
+    return (
+        "<!DOCTYPE html><html><head><style>.x{color:red}</style>"
+        f"<title>Report {rng.randint(1,99)}</title></head>"
+        f"<body><nav>{nav}</nav><div>{paras}</div>{script}{footer}</body></html>"
+    )
+
+
 def gen_freeform(rng: random.Random) -> str:
     lines = [rng.choice(_WORDS) for _ in range(rng.randint(2, 6))]
     if rng.random() < 0.5:
@@ -280,6 +299,7 @@ FAMILY_GENERATORS = (
     ("noisy_desc", gen_noisy_desc),
     ("date_edges", gen_date_edges),
     ("ledger_rows", gen_ledger_rows),
+    ("html_page", gen_html_page),
     ("freeform", gen_freeform),
 )
 

@@ -69,6 +69,7 @@ def test_every_family_appears(transcripts):
         "chase_visa", "chase_checking", "bofa_bank", "wf_mastercard", "wf_visa",
         "first_republic", "wf_bank_layout", "amazon_order", "csv_capitalone",
         "csv_wf_checking", "noisy_desc", "date_edges", "ledger_rows", "freeform",
+        "html_page",
     } <= fams
 
 
@@ -81,7 +82,7 @@ def test_contract_invariants(transcripts):
     for t in transcripts["text"]:
         r = extract_turn(t)
         for line in r.extracted_text.split("\n") if r.extracted_text else []:
-            if r.family in ("freeform", "noisy_desc"):
+            if r.family in ("freeform", "noisy_desc", "html_page"):
                 continue
             date, amount, desc, ttype = line.split("|")
             assert iso.match(date), (r.family, line)
