@@ -519,6 +519,47 @@ def q_pipeline_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split.quarantine.select("conv_id", "turn_idx", "problem_reason")
 
 
+def q_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation grouped-map rollup (operators/conversation.py,
+    §2.11 applyInPandas tier) over document-derived transcripts. The
+    SQL-expressible columns are oracle-checked; the order-sensitive
+    chain_hash is excluded here and pinned in tests/test_conversation.py."""
+    import __spark_entry__ as entrymod
+
+    from ..operators.conversation import conversation_rollup
+
+    t = entrymod._transcripts_from_documents(spark, sf_dir)
+    r = conversation_rollup(t)
+    return r.select(
+        "conv_id",
+        "n_turns",
+        "n_roles",
+        F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts_s"),
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts_s"),
+        "total_chars",
+        "turn_gap_max_s",
+    )
+
+
+_CONV_ROLLUP_ORACLE = """
+    WITH turns AS (
+      SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS conv_id,
+             u.s.t AS text
+      FROM (SELECT doc_id,
+                   unnest(list_transform(string_split(text, '. '),
+                                         (t, i) -> {'t': t, 'i': i})) AS s
+            FROM documents) u)
+    SELECT conv_id,
+           COUNT(*) AS n_turns,
+           CAST(1 AS BIGINT) AS n_roles,
+           '2024-01-01 00:00:00' AS first_ts_s,
+           '2024-01-01 00:00:00' AS last_ts_s,
+           SUM(length(text)) AS total_chars,
+           CAST(0 AS BIGINT) AS turn_gap_max_s
+    FROM turns GROUP BY conv_id
+"""
+
+
 def q_p2_column_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 column-name standardization (utils/utils.py:18-26): lowercase,
     \\W+ -> _, strip edges — applied to VALUES here so the rule itself is
@@ -678,6 +719,7 @@ QUERIES_EXT2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t5_capture_between_markers": q_t5_capture_between_markers,
     "pipeline_extract": q_pipeline_extract,
     "pipeline_quarantine": q_pipeline_quarantine,
+    "conv_rollup": q_conv_rollup,
     "t1_line_split": q_t1_line_split,
     "t3_block_assembly": q_t3_block_assembly,
     "r4_amount_clean": q_r4_amount_clean,
@@ -694,6 +736,7 @@ QUERIES_EXT2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES_EXT2: dict[str, str] = {
     "p2_column_standardize": _P2_ORACLE,
+    "conv_rollup": _CONV_ROLLUP_ORACLE,
     "r1_transaction_line": _R1_ORACLE,
     "r6_payment_classification": _R6_ORACLE,
     "t5_capture_between_markers": _T5_ORACLE,
