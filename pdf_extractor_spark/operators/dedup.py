@@ -124,6 +124,52 @@ def minhash_lsh_pairs(
     )
 
 
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: candidates share at least one of the 4 8-bit
+    bands of their 32-bit simhash (pigeonhole: hamming<=3 over 4 bands
+    GUARANTEES a shared band — exact recall, not probabilistic), verified by
+    bit_count(xor) <= max_hamming. Returns (d1, d2, hamming).
+
+    Scale: the band join shuffles (band_id, band_value:int, id) — even
+    smaller rows than MinHash LSH; simhash computation is one explode+agg."""
+    sh = simhash_docs(docs, id_col, text_col)
+    bands = sh.select(
+        F.col(id_col).alias("bid"),
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 8 * b).bitwiseAND(F.lit(255))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.bid") < F.col("b.bid")),
+        )
+        .select(
+            F.col("a.bid").alias("d1"),
+            F.col("b.bid").alias("d2"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.where(F.col("hamming") <= max_hamming)
+
+
 def simhash_docs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -125,6 +125,50 @@ def _simhash_oracle() -> str:
     """
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with pigeonhole 8-bit-band candidates and
+    bit_count(xor) verification (operators/dedup.py simhash_pairs)."""
+    from ..operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    return simhash_pairs(docs, max_hamming=3)
+
+
+def _simhash_pairs_oracle() -> str:
+    h = h32_sql("tok")
+    sums = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    band_structs = ", ".join(
+        f"{{'band_id': {b}, 'val': (simhash >> {8 * b}) & 255}}" for b in range(4)
+    )
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents WHERE doc_id < 400),
+        hashed AS (
+          SELECT doc_id, {h} AS h FROM tok WHERE length(tok) > 0),
+        sums AS (
+          SELECT doc_id,
+    {sums}
+          FROM hashed GROUP BY doc_id),
+        sh AS (SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM sums),
+        bands AS (
+          SELECT doc_id AS bid, simhash, u.s.band_id AS band_id, u.s.val AS band_val
+          FROM (SELECT doc_id, simhash, unnest([{band_structs}]) AS s FROM sh) u),
+        cand AS (
+          SELECT DISTINCT a.bid AS d1, b.bid AS d2,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.bid < b.bid)
+        SELECT d1, d2, hamming FROM cand WHERE hamming <= 3
+    """
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (operators/similarity.py)."""
     return cosine_near_dup_pairs(_t(spark, sf_dir, "embeddings"), max_id=200, threshold=0.4)
@@ -330,6 +374,7 @@ _BPE_ORACLE = f"""
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "sim_ivf_topk": q_sim_ivf_topk,
     "text_langid": q_text_langid,
@@ -341,6 +386,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES_EXT: dict[str, str] = {
     "dedup_minhash_lsh": _minhash_lsh_oracle(),
     "dedup_simhash": _simhash_oracle(),
+    "dedup_simhash_pairs": _simhash_pairs_oracle(),
     "dedup_embedding_cosine": _EMB_COSINE_ORACLE,
     "sim_ivf_topk": _IVF_ORACLE,
     "text_langid": _langid_oracle(),

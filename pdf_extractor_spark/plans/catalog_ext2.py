@@ -455,6 +455,113 @@ _R1_ORACLE = r"""
 """
 
 
+def q_r2_dual_date_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 no-space dual-date+ref+amount match (wellsfargo_mastercard_parser.py:
+    253-255): render 'MM/DDMM/DDREF123 DESC 45.67', recover all 5 groups with
+    the reference's lazy-desc anchored regex."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = _cents(F.col("o_totalprice") / 100)
+    amt = F.concat(
+        (cents / 100).cast("long").cast("string"),
+        F.lit("."),
+        F.lpad((cents % 100).cast("string"), 2, "0"),
+    )
+    d2 = F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 2), "MM/dd")
+    line = F.concat(
+        F.date_format("o_orderdate", "MM/dd"), d2,
+        F.lit("REF"), (F.col("o_orderkey") % 1000).cast("string"),
+        F.lit(" "), F.col("o_orderpriority"), F.lit(" "), amt,
+    )
+    pat = r"(\d{2}/\d{2})(\d{2}/\d{2})([A-Z0-9]+)\s+(.+?)\s+(\d+\.\d{2})$"
+    return orders.select(
+        "o_orderkey",
+        F.regexp_extract(line, pat, 1).alias("trans_date"),
+        F.regexp_extract(line, pat, 2).alias("post_date"),
+        F.regexp_extract(line, pat, 3).alias("ref"),
+        F.regexp_extract(line, pat, 4).alias("description"),
+        F.regexp_extract(line, pat, 5).alias("amount_str"),
+    )
+
+
+_R2_ORACLE = r"""
+    WITH c AS (
+      SELECT o_orderkey, o_orderpriority, o_orderdate,
+             CAST(FLOOR(o_totalprice / 100 * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    r AS (
+      SELECT o_orderkey,
+             strftime(o_orderdate, '%m/%d')
+               || strftime(CAST(o_orderdate AS DATE) + 2, '%m/%d')
+               || 'REF' || CAST(o_orderkey % 1000 AS VARCHAR)
+               || ' ' || o_orderpriority || ' '
+               || (CAST(cents // 100 AS VARCHAR) || '.'
+                   || lpad(CAST(cents % 100 AS VARCHAR), 2, '0')) AS line
+      FROM c)
+    SELECT o_orderkey,
+           regexp_extract(line, '(\d{2}/\d{2})(\d{2}/\d{2})([A-Z0-9]+)\s+(.+?)\s+(\d+\.\d{2})$', 1) AS trans_date,
+           regexp_extract(line, '(\d{2}/\d{2})(\d{2}/\d{2})([A-Z0-9]+)\s+(.+?)\s+(\d+\.\d{2})$', 2) AS post_date,
+           regexp_extract(line, '(\d{2}/\d{2})(\d{2}/\d{2})([A-Z0-9]+)\s+(.+?)\s+(\d+\.\d{2})$', 3) AS ref,
+           regexp_extract(line, '(\d{2}/\d{2})(\d{2}/\d{2})([A-Z0-9]+)\s+(.+?)\s+(\d+\.\d{2})$', 4) AS description,
+           regexp_extract(line, '(\d{2}/\d{2})(\d{2}/\d{2})([A-Z0-9]+)\s+(.+?)\s+(\d+\.\d{2})$', 5) AS amount_str
+    FROM r
+"""
+
+
+def q_r3_deposit_withdrawal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 deposit/withdrawal line match (first_republic_bank_parser.py:285,
+    357): '$' amounts with trailing '-' meaning debit; sign applied on
+    extraction."""
+    ev = _t(spark, sf_dir, "events")
+    cents = _cents(F.coalesce(F.abs(F.col("value")), F.lit(0.0)))
+    amt = F.concat(
+        (cents / 100).cast("long").cast("string"),
+        F.lit("."),
+        F.lpad((cents % 100).cast("string"), 2, "0"),
+    )
+    debit = F.col("event_id") % 2 == 0
+    line = F.concat(
+        F.date_format("ts", "MM/dd"), F.lit(" "),
+        F.col("event_type"), F.lit(" $"), amt,
+        F.when(debit, F.lit(" -")).otherwise(F.lit("")),
+    )
+    pat = r"(\d{2}/\d{2})\s+(.*?)\s+\$([\d,]+\.\d{2})"
+    signed = F.when(
+        line.rlike(r"-\s*$"),
+        -F.regexp_replace(F.regexp_extract(line, pat, 3), ",", "").cast("decimal(14,2)"),
+    ).otherwise(
+        F.regexp_replace(F.regexp_extract(line, pat, 3), ",", "").cast("decimal(14,2)")
+    )
+    return ev.select(
+        "event_id",
+        F.regexp_extract(line, pat, 1).alias("txn_mmdd"),
+        F.regexp_extract(line, pat, 2).alias("description"),
+        signed.cast("double").alias("signed_amount"),
+    )
+
+
+_R3_ORACLE = r"""
+    WITH c AS (
+      SELECT event_id, ts, event_type,
+             CAST(FLOOR(COALESCE(abs(value), 0.0) * 100 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    r AS (
+      SELECT event_id,
+             strftime(ts, '%m/%d') || ' ' || event_type || ' $'
+               || (CAST(cents // 100 AS VARCHAR) || '.'
+                   || lpad(CAST(cents % 100 AS VARCHAR), 2, '0'))
+               || CASE WHEN event_id % 2 = 0 THEN ' -' ELSE '' END AS line
+      FROM c)
+    SELECT event_id,
+           regexp_extract(line, '(\d{2}/\d{2})\s+(.*?)\s+\$([\d,]+\.\d{2})', 1) AS txn_mmdd,
+           regexp_extract(line, '(\d{2}/\d{2})\s+(.*?)\s+\$([\d,]+\.\d{2})', 2) AS description,
+           CAST(CASE WHEN regexp_matches(line, '-\s*$')
+                THEN -CAST(replace(regexp_extract(line, '(\d{2}/\d{2})\s+(.*?)\s+\$([\d,]+\.\d{2})', 3), ',', '') AS DECIMAL(14,2))
+                ELSE CAST(replace(regexp_extract(line, '(\d{2}/\d{2})\s+(.*?)\s+\$([\d,]+\.\d{2})', 3), ',', '') AS DECIMAL(14,2))
+                END AS DOUBLE) AS signed_amount
+    FROM r
+"""
+
+
 def q_r6_payment_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R6 payment-keyword classification (wellsfargo_mastercard_parser.py:
     286-290): credit iff the description carries a payment phrase."""
@@ -715,6 +822,8 @@ QUERIES_EXT2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "r10_date_from_filename": q_r10_date_from_filename,
     "r25_key_cleanup": q_r25_key_cleanup,
     "r1_transaction_line": q_r1_transaction_line,
+    "r2_dual_date_line": q_r2_dual_date_line,
+    "r3_deposit_withdrawal": q_r3_deposit_withdrawal,
     "r6_payment_classification": q_r6_payment_classification,
     "t5_capture_between_markers": q_t5_capture_between_markers,
     "pipeline_extract": q_pipeline_extract,
@@ -738,6 +847,8 @@ ORACLES_EXT2: dict[str, str] = {
     "p2_column_standardize": _P2_ORACLE,
     "conv_rollup": _CONV_ROLLUP_ORACLE,
     "r1_transaction_line": _R1_ORACLE,
+    "r2_dual_date_line": _R2_ORACLE,
+    "r3_deposit_withdrawal": _R3_ORACLE,
     "r6_payment_classification": _R6_ORACLE,
     "t5_capture_between_markers": _T5_ORACLE,
     "p8_user_data_detect": _P8_ORACLE,
