@@ -62,6 +62,51 @@ def conversation_rollup(transcripts: DataFrame) -> DataFrame:
     return transcripts.groupBy("conv_id").applyInPandas(run, schema=ROLLUP_SCHEMA)
 
 
+def _rollup_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized multi-conversation rollup of a conv-sorted frame."""
+    out = []
+    for _, g in pdf.groupby("conv_id", sort=False):
+        out.append(_rollup_one(g))
+    return pd.concat(out, ignore_index=True)
+
+
+def conversation_rollup_fast(transcripts: DataFrame, partitions: int = 32) -> DataFrame:
+    """The scale path for per-conversation processing: ONE Python call per
+    partition instead of one per group.
+
+    ``groupBy().applyInPandas`` invokes the UDF once per conversation — at
+    ~10ms of pandas fixed cost per call, 10^9 conversations is pure overhead.
+    Instead: hash-repartition by conv_id (all turns of a conv co-located),
+    sortWithinPartitions(conv_id, turn_idx) (groups contiguous and ordered),
+    then mapInPandas with an in-batch pandas groupby. Arrow may split a
+    conversation across record batches, so the tail conversation of every
+    batch is carried into the next (only complete groups are emitted).
+
+    Equality with conversation_rollup is pinned in tests/test_conversation.py.
+    """
+    df = transcripts.repartition(partitions, "conv_id").sortWithinPartitions(
+        "conv_id", "turn_idx"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None and len(pending):
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last_conv = pdf["conv_id"].iloc[-1]
+            tail = pdf["conv_id"] == last_conv
+            pending = pdf[tail]
+            complete = pdf[~tail]
+            if len(complete):
+                yield _rollup_frame(complete)
+        if pending is not None and len(pending):
+            yield _rollup_frame(pending)
+
+    return df.mapInPandas(run, schema=ROLLUP_SCHEMA)
+
+
 def chain_hash_oracle(texts: Iterator[str | None]) -> str:
     """Plain-Python mirror of the fold for tests."""
     h = hashlib.sha256()

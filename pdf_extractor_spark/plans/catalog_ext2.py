@@ -633,10 +633,10 @@ def q_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain_hash is excluded here and pinned in tests/test_conversation.py."""
     import __spark_entry__ as entrymod
 
-    from ..operators.conversation import conversation_rollup
+    from ..operators.conversation import conversation_rollup_fast
 
     t = entrymod._transcripts_from_documents(spark, sf_dir)
-    r = conversation_rollup(t)
+    r = conversation_rollup_fast(t)
     return r.select(
         "conv_id",
         "n_turns",

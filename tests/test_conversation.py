@@ -33,6 +33,17 @@ def test_rollup_counts_and_spans(rollup):
         assert r.turn_gap_max_s == (37 if len(g) > 1 else 0)
 
 
+def test_fast_rollup_equals_grouped_map(spark, rollup):
+    from pdf_extractor_spark.operators.conversation import conversation_rollup_fast
+
+    pdf, got = rollup
+    sdf = spark.createDataFrame(pdf, schema=TRANSCRIPTS)
+    fast = {r.conv_id: r for r in conversation_rollup_fast(sdf, partitions=4).collect()}
+    assert set(fast) == set(got)
+    for cid in got:
+        assert tuple(fast[cid]) == tuple(got[cid]), cid
+
+
 def test_chain_hash_is_order_sensitive(rollup):
     pdf, got = rollup
     for conv_id, g in pdf.groupby("conv_id"):
