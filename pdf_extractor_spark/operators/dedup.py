@@ -81,6 +81,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.9,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding, verified with exact
     token-set Jaccard. Returns (d1, d2, jaccard) with jaccard >= threshold,
@@ -89,6 +90,15 @@ def minhash_lsh_pairs(
     With 16 perms / 4 bands x 4 rows, candidate recall at s=0.9 is
     1-(1-s^4)^4 ≈ 0.986; the DuckDB oracle mirrors the SAME pipeline, so the
     gate compares identical (not merely statistically similar) outputs.
+
+    ``max_bucket``: the 100TB guard. A band bucket of m members yields
+    m(m-1)/2 candidate pairs — boilerplate-identical documents create
+    million-member buckets that quadratically dominate the join. Buckets
+    larger than max_bucket are DROPPED (their members are exact/near-exact
+    duplicates by signature; route them through the cheaper exact-hash
+    dedup instead) and the drop is observable via the returned plan's
+    `lsh_bucket_metrics` observation (n_buckets_dropped, n_ids_in_dropped).
+    None (the gate default) disables the cap so the oracle mirror stays exact.
     """
     toks = tokenized(docs, id_col, text_col)
     sig = toks.select(id_col, "toks", *minhash_signature_cols()).select(
@@ -100,6 +110,29 @@ def minhash_lsh_pairs(
             "band_id", "key"
         ),
     )
+    if max_bucket is not None:
+        from pyspark.sql import Observation, Window
+
+        w = Window.partitionBy("band_id", "key")
+        sized = bands.withColumn("bucket_n", F.count("*").over(w)).withColumn(
+            "is_first",
+            F.row_number().over(w.orderBy("bid")) == 1,
+        )
+        obs = Observation("lsh_bucket_metrics")
+        # observe() forbids distinct aggregates: count buckets via the
+        # first-row flag instead of count_distinct
+        sized = sized.observe(
+            obs,
+            F.sum(
+                ((F.col("bucket_n") > max_bucket) & F.col("is_first")).cast("long")
+            ).alias("n_buckets_dropped"),
+            F.sum((F.col("bucket_n") > max_bucket).cast("long")).alias(
+                "n_ids_in_dropped"
+            ),
+        )
+        bands = sized.where(F.col("bucket_n") <= max_bucket).drop(
+            "bucket_n", "is_first"
+        )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
