@@ -371,7 +371,23 @@ _BPE_ORACLE = f"""
 """
 
 
+def q_j2_fuzzy_indel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 with EXACT rapidfuzz token_sort_ratio (InDel) semantics — the
+    pandas-UDF tier (operators/fuzzy.py). Rows-only gate entry: the LCS
+    scorer has no SQL mirror; exact values are pinned by
+    tests/test_fuzzy_indel.py against an independent InDel DP oracle."""
+    from ..operators.fuzzy import fuzzy_topk_indel
+
+    part = _t(spark, sf_dir, "part")
+    left = part.where((F.col("p_partkey") >= 50) & (F.col("p_partkey") < 250)).select(
+        "p_partkey", "p_name"
+    )
+    dim = part.where(F.col("p_partkey") < 50).select("p_name")
+    return fuzzy_topk_indel(left, dim, "p_partkey", "p_name", "p_name")
+
+
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "j2_fuzzy_indel_topk": q_j2_fuzzy_indel_topk,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
