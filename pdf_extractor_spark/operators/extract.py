@@ -47,6 +47,61 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+_SPAN_PA = None
+
+
+def _arrow_types():
+    global _SPAN_PA
+    import pyarrow as pa
+
+    if _SPAN_PA is None:
+        _SPAN_PA = (
+            pa.list_(
+                pa.struct(
+                    [("start", pa.int32()), ("end", pa.int32()), ("kind", pa.string())]
+                )
+            ),
+            pa.map_(pa.string(), pa.int32()),
+        )
+    return _SPAN_PA
+
+
+def _extract_batches_arrow(batches):
+    """mapInArrow body: builds output RecordBatches with pyarrow directly —
+    skips the pandas hop entirely (measured ~2x cheaper output assembly than
+    DataFrame + from_pandas for the nested spans/rule_hits columns)."""
+    import pyarrow as pa
+
+    span_t, map_t = _arrow_types()
+    for rb in batches:
+        texts = rb.column(rb.schema.get_field_index("text")).to_pylist()
+        results = [extract_turn(t) for t in texts]
+        yield pa.record_batch(
+            [
+                rb.column(rb.schema.get_field_index("conv_id")),
+                rb.column(rb.schema.get_field_index("turn_idx")),
+                pa.array([r.family for r in results], pa.string()),
+                pa.array([r.extracted_text for r in results], pa.string()),
+                pa.array([r.spans for r in results], span_t),
+                pa.array([list(r.rule_hits.items()) for r in results], map_t),
+                pa.array([r.n_records for r in results], pa.int32()),
+                pa.array([r.valid for r in results], pa.bool_()),
+                pa.array([r.problem_reason for r in results], pa.string()),
+            ],
+            names=[
+                "conv_id",
+                "turn_idx",
+                "family",
+                "extracted_text",
+                "spans",
+                "rule_hits",
+                "n_records",
+                "valid",
+                "problem_reason",
+            ],
+        )
+
+
 def extract_turns(transcripts: DataFrame, salt_partitions: int | None = None) -> DataFrame:
     """Run the extraction rules over a transcript DataFrame.
 
@@ -55,6 +110,19 @@ def extract_turns(transcripts: DataFrame, salt_partitions: int | None = None) ->
     while keeping *some* conv locality (SURVEY §4). Leave None for inputs
     already well-partitioned (Parquet/Iceberg splits are row-group sized).
     """
+    cols = transcripts.select("conv_id", "turn_idx", "text")
+    if salt_partitions:
+        from .order import salted
+
+        cols = salted(cols, salt_partitions)
+    return cols.mapInArrow(_extract_batches_arrow, schema=EXTRACTED_TURNS)
+
+
+def extract_turns_pandas(
+    transcripts: DataFrame, salt_partitions: int | None = None
+) -> DataFrame:
+    """mapInPandas variant (kept for comparison/debugging; extract_turns now
+    uses the cheaper mapInArrow path — identical results, golden-tested)."""
     cols = transcripts.select("conv_id", "turn_idx", "text")
     if salt_partitions:
         from .order import salted
