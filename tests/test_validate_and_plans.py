@@ -63,7 +63,7 @@ def test_extraction_plan_has_no_shuffle(spark, extracted):
         extracted.explain("formatted")
     p = buf.getvalue()
     assert "Exchange" not in p
-    assert "ArrowEvalPython" in p or "MapInPandas" in p
+    assert any(tag in p for tag in ("MapInArrow", "PythonMapInArrow", "MapInPandas"))
 
 
 def test_minhash_join_keys_are_small(spark):
