@@ -51,6 +51,12 @@ STATEMENT_PERIOD_PATTERNS: list[re.Pattern[str]] = [
 ]
 _CLOSING_DATE = re.compile(r"Statement Closing Date[:\s]+(\d{2}/\d{2}/\d{4})")
 
+# R9 deep fallbacks (utils/utils.py:163-262): whitespace-squashed 'through'
+# scan over text with ALL whitespace removed, tried after NFKD normalization
+_SQUASHED_THROUGH = re.compile(
+    r"([A-Z][a-z]+)(\d{1,2}),(\d{4})through([A-Z][a-z]+)(\d{1,2}),(\d{4})"
+)
+
 
 def _safe_date(y: int, m: int, d: int) -> str | None:
     try:
@@ -122,12 +128,29 @@ def extract_statement_period(text: str) -> tuple[str | None, str | None, str]:
 
     Returns ``(period_start_iso, period_end_iso, source)`` where source is the
     provenance enum 'content'|'none' (models.py:47-50 uses
-    'content'|'filename'|'last_row')."""
-    for pat in STATEMENT_PERIOD_PATTERNS:
-        m = pat.search(text)
-        if m:
-            start = parse_date(m.group(1))
-            end = parse_date(m.group(2))
+    'content'|'filename'|'last_row').
+
+    Fallback ladder order mirrors utils/utils.py:142-262: direct patterns,
+    then NFKD-normalized text (folds NBSP/ligatures so the spaced patterns
+    match degraded extractions), then the whitespace-squashed 'through' scan
+    (line breaks inside the period string)."""
+    import unicodedata
+
+    candidates = (text, unicodedata.normalize("NFKD", text))
+    for t in candidates:
+        for pat in STATEMENT_PERIOD_PATTERNS:
+            m = pat.search(t)
+            if m:
+                start = parse_date(m.group(1))
+                end = parse_date(m.group(2))
+                if start or end:
+                    return start, end, "content"
+    for t in candidates:
+        squashed = re.sub(r"\s+", "", t)
+        m = _SQUASHED_THROUGH.search(squashed)
+        if m and m.group(1) in _MONTHS and m.group(4) in _MONTHS:
+            start = _safe_date(int(m.group(3)), _MONTHS[m.group(1)], int(m.group(2)))
+            end = _safe_date(int(m.group(6)), _MONTHS[m.group(4)], int(m.group(5)))
             if start or end:
                 return start, end, "content"
     m = _CLOSING_DATE.search(text)
