@@ -138,9 +138,12 @@ def gen_wf_visa(rng: random.Random) -> str:
 
 
 def gen_first_republic(rng: random.Random) -> str:
+    # 20% of statements carry an NBSP-degraded period line (exercises the
+    # NFKD fallback rung of the R9 ladder end-to-end)
+    sep = "\xa0" if rng.random() < 0.2 else " "
     lines = [
         "First Republic Bank",
-        "Statement Period: May 11, 2024 - May 24, 2024",
+        f"Statement Period: May{sep}11, 2024 - May{sep}24, 2024",
         "Account Number: 123-456789",
         "Deposits",
     ]
