@@ -306,6 +306,72 @@ def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style multi-join: dims broadcast down the chain, one shuffle
+    for the final group-by; supplier and customer must share a nation."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    dims = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+    )
+    c = cust.join(dims, cust.c_nationkey == dims.n_nationkey).select(
+        "c_custkey", "n_nationkey", "n_name"
+    )
+    o = orders.join(F.broadcast(c), orders.o_custkey == F.col("c_custkey")).select(
+        "o_orderkey", "n_nationkey", "n_name"
+    )
+    s = supp.select("s_suppkey", F.col("s_nationkey"))
+    j = (
+        li.join(F.broadcast(o), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        .where(F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return j.groupBy("n_name").agg(
+        (F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0)
+        .alias("revenue")
+    )
+
+
+def q_tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style filter-aggregate: every predicate pushed to the scan,
+    single partial+final agg, no join."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount"))) / 100.0)
+            .alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def q_w7_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function sweep: rank / dense_rank / ntile over per-customer
+    order amounts with deterministic tiebreaks."""
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 500)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
 def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style join: dims broadcast, fact shuffled once; deterministic
     top-10 with orderkey tiebreak."""
@@ -545,6 +611,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a5_dedup_exact": q_a5_dedup_exact,
     "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
     "tpch_q3_shipping": q_tpch_q3_shipping,
+    "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+    "tpch_q6_forecast": q_tpch_q6_forecast,
+    "w7_ranking_suite": q_w7_ranking_suite,
     "w2_forward_fill": q_w2_forward_fill,
     "w3_block_id": q_w3_block_id,
     "w4_lookahead": q_w4_lookahead,
@@ -695,6 +764,39 @@ _ORACLES: dict[str, str] = {
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
+    """,
+    "tpch_q5_local_supplier": """
+        SELECT n_name,
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0
+                 AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+    """,
+    "tpch_q6_forecast": """
+        SELECT SUM(CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)) / 100.0
+                 AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "w7_ranking_suite": """
+        SELECT o_custkey, o_orderkey,
+               CAST(rank() OVER w AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        FROM orders
+        WHERE o_custkey < 500
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey)
     """,
     "tpch_q3_shipping": """
         SELECT o_orderkey,
