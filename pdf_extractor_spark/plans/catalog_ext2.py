@@ -626,6 +626,98 @@ def q_pipeline_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split.quarantine.select("conv_id", "turn_idx", "problem_reason")
 
 
+def q_j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): for each purchase event, the most
+    recent signup event of the same user at or before its timestamp —
+    union + one window pass, no range cross-product. Right side deduped to
+    one row per (user, ts) so the match is deterministic in both engines."""
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    right = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("signup_id"))
+    )
+    joined = asof_join(left, right, key="user_id", ts="ts", right_value_cols=["signup_id"])
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "asof_signup_id",
+    )
+
+
+_J6_ORACLE = """
+    WITH l AS (
+      SELECT user_id, ts, event_id AS purchase_id FROM events
+      WHERE event_type = 'purchase'),
+    r AS (
+      SELECT user_id, ts, MAX(event_id) AS signup_id FROM events
+      WHERE event_type = 'signup' GROUP BY user_id, ts)
+    SELECT l.purchase_id, l.user_id,
+           strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           r.signup_id AS asof_signup_id
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_a6_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: event counts per user across a fixed type list (guide's
+    pivot/unpivot pattern; fixed value list keeps the plan single-pass)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["signup", "login", "purchase", "error"]
+    return (
+        ev.where(F.col("user_id") < 300)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types],
+        )
+    )
+
+
+_A6_ORACLE = """
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+           SUM(CASE WHEN event_type = 'login' THEN 1 ELSE 0 END) AS n_login,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+    FROM events WHERE user_id < 300 GROUP BY user_id
+"""
+
+
+def q_a7_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (linear interpolation — Spark
+    percentile == DuckDB quantile_cont) + min/max, 6-dp fixed point."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    r6 = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
+    return ev.groupBy("event_type").agg(
+        r6(F.expr("percentile(value, 0.5)")).alias("p50"),
+        r6(F.expr("percentile(value, 0.95)")).alias("p95"),
+        r6(F.min("value")).alias("vmin"),
+        r6(F.max("value")).alias("vmax"),
+        F.count("*").alias("n"),
+    )
+
+
+_A7_ORACLE = """
+    SELECT event_type,
+           FLOOR(quantile_cont(value, 0.5) * 1000000.0 + 0.5) / 1000000.0 AS p50,
+           FLOOR(quantile_cont(value, 0.95) * 1000000.0 + 0.5) / 1000000.0 AS p95,
+           FLOOR(MIN(value) * 1000000.0 + 0.5) / 1000000.0 AS vmin,
+           FLOOR(MAX(value) * 1000000.0 + 0.5) / 1000000.0 AS vmax,
+           COUNT(*) AS n
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+"""
+
+
 def q_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation grouped-map rollup (operators/conversation.py,
     §2.11 applyInPandas tier) over document-derived transcripts. The
@@ -829,6 +921,9 @@ QUERIES_EXT2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_extract": q_pipeline_extract,
     "pipeline_quarantine": q_pipeline_quarantine,
     "conv_rollup": q_conv_rollup,
+    "j6_asof_join": q_j6_asof_join,
+    "a6_pivot_counts": q_a6_pivot_counts,
+    "a7_percentiles": q_a7_percentiles,
     "t1_line_split": q_t1_line_split,
     "t3_block_assembly": q_t3_block_assembly,
     "r4_amount_clean": q_r4_amount_clean,
@@ -846,6 +941,9 @@ QUERIES_EXT2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES_EXT2: dict[str, str] = {
     "p2_column_standardize": _P2_ORACLE,
     "conv_rollup": _CONV_ROLLUP_ORACLE,
+    "j6_asof_join": _J6_ORACLE,
+    "a6_pivot_counts": _A6_ORACLE,
+    "a7_percentiles": _A7_ORACLE,
     "r1_transaction_line": _R1_ORACLE,
     "r2_dual_date_line": _R2_ORACLE,
     "r3_deposit_withdrawal": _R3_ORACLE,
