@@ -14,7 +14,15 @@ from pyspark.sql import functions as F
 @pytest.fixture(scope="module")
 def bucketed(spark):
     # tables land in ./spark-warehouse (gitignored); warehouse.dir is a
-    # static conf that cannot move after session start
+    # static conf that cannot move after session start. The default in-memory
+    # catalog forgets tables between sessions while their directories persist,
+    # so clear both before writing.
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_cust"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
     orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
     orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode("overwrite").saveAsTable("b_orders")
