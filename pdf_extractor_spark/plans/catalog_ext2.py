@@ -666,6 +666,46 @@ _J6_ORACLE = """
 """
 
 
+def q_j7_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join (operators/rangejoin.py): purchases landing
+    within 48h after a signup of the same user. The oracle is the plain
+    inequality join, proving the bucketed rewrite exactly equivalent."""
+    from ..operators.rangejoin import range_join_bucketed
+
+    ev = _t(spark, sf_dir, "events")
+    points = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    intervals = ev.where(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 48 HOURS")).alias("hi"),
+        F.col("event_id").alias("signup_id"),
+    )
+    j = range_join_bucketed(
+        points, intervals, key="user_id", ts="ts", lo="lo", hi="hi",
+        bucket_seconds=6 * 3600,
+    )
+    return j.select(
+        "purchase_id",
+        "user_id",
+        "signup_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    )
+
+
+_J7_ORACLE = """
+    WITH p AS (SELECT user_id, ts, event_id AS purchase_id FROM events
+               WHERE event_type = 'purchase'),
+    s AS (SELECT user_id, ts AS lo, ts + INTERVAL 48 HOUR AS hi,
+                 event_id AS signup_id
+          FROM events WHERE event_type = 'signup')
+    SELECT p.purchase_id, p.user_id, s.signup_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM p JOIN s ON p.user_id = s.user_id AND p.ts >= s.lo AND p.ts <= s.hi
+"""
+
+
 def q_a6_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: event counts per user across a fixed type list (guide's
     pivot/unpivot pattern; fixed value list keeps the plan single-pass)."""
@@ -690,6 +730,33 @@ _A6_ORACLE = """
            SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
            SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
     FROM events WHERE user_id < 300 GROUP BY user_id
+"""
+
+
+def q_a8_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the pivot output back to long form — wide count
+    columns become (user_id, metric, n) rows, zeros preserved."""
+    wide = q_a6_pivot_counts(spark, sf_dir)
+    return wide.unpivot(
+        ids=["user_id"],
+        values=["n_signup", "n_login", "n_purchase", "n_error"],
+        variableColumnName="metric",
+        valueColumnName="n",
+    )
+
+
+_A8_ORACLE = """
+    WITH wide AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+             SUM(CASE WHEN event_type = 'login' THEN 1 ELSE 0 END) AS n_login,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+      FROM events WHERE user_id < 300 GROUP BY user_id)
+    SELECT user_id, 'n_signup' AS metric, n_signup AS n FROM wide
+    UNION ALL SELECT user_id, 'n_login', n_login FROM wide
+    UNION ALL SELECT user_id, 'n_purchase', n_purchase FROM wide
+    UNION ALL SELECT user_id, 'n_error', n_error FROM wide
 """
 
 
@@ -922,8 +989,10 @@ QUERIES_EXT2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_quarantine": q_pipeline_quarantine,
     "conv_rollup": q_conv_rollup,
     "j6_asof_join": q_j6_asof_join,
+    "j7_range_join": q_j7_range_join,
     "a6_pivot_counts": q_a6_pivot_counts,
     "a7_percentiles": q_a7_percentiles,
+    "a8_unpivot": q_a8_unpivot,
     "t1_line_split": q_t1_line_split,
     "t3_block_assembly": q_t3_block_assembly,
     "r4_amount_clean": q_r4_amount_clean,
@@ -942,8 +1011,10 @@ ORACLES_EXT2: dict[str, str] = {
     "p2_column_standardize": _P2_ORACLE,
     "conv_rollup": _CONV_ROLLUP_ORACLE,
     "j6_asof_join": _J6_ORACLE,
+    "j7_range_join": _J7_ORACLE,
     "a6_pivot_counts": _A6_ORACLE,
     "a7_percentiles": _A7_ORACLE,
+    "a8_unpivot": _A8_ORACLE,
     "r1_transaction_line": _R1_ORACLE,
     "r2_dual_date_line": _R2_ORACLE,
     "r3_deposit_withdrawal": _R3_ORACLE,

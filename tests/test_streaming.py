@@ -53,6 +53,47 @@ def test_stream_picks_up_only_new_files(spark, stream_dirs):
     assert got.count() == stream_dirs["n_rows"] + len(extra)
 
 
+def test_session_window_stream_matches_batch(spark, stream_dirs):
+    """Gap-based session_window (5-min gap) aggregation: streaming result
+    under availableNow equals the batch session_window over the same data —
+    the built-in sessionization beside the custom w6 cumulative-gap form."""
+    from pdf_extractor_spark.streaming.extract_stream import read_transcript_stream
+
+    stream = read_transcript_stream(spark, stream_dirs["input"])
+    agg_cols = lambda df: (  # noqa: E731
+        df.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "5 minutes").alias("sw"), "conv_id")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("sw.start").alias("s"), F.col("sw.end").alias("e"), "conv_id", "n")
+    )
+    q = (
+        agg_cols(stream)
+        .writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(stream_dirs["base"] / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {tuple(r) for r in spark.table("sess_counts").collect()}
+    batch_df = spark.read.schema(TRANSCRIPTS).parquet(stream_dirs["input"])
+    batch = {
+        tuple(r)
+        for r in (
+            batch_df.groupBy(
+                F.session_window("ts", "5 minutes").alias("sw"), "conv_id"
+            )
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.col("sw.start").alias("s"), F.col("sw.end").alias("e"), "conv_id", "n"
+            )
+            .collect()
+        )
+    }
+    assert streamed == batch
+
+
 def test_windowed_counts_with_watermark(spark, stream_dirs):
     ckpt = str(stream_dirs["base"] / "ckpt_counts")
     run_windowed_counts(spark, stream_dirs["input"], ckpt, "turn_counts")
