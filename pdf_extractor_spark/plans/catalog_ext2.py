@@ -733,6 +733,38 @@ _A6_ORACLE = """
 """
 
 
+def q_a9_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup (hierarchical grouping sets): revenue by (status, priority),
+    by status subtotal, and grand total; grouping-id marks the level."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            (F.sum(_cents(F.col("o_totalprice"))) / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "revenue",
+            "n_orders",
+            "gid",
+        )
+    )
+
+
+_A9_ORACLE = """
+    SELECT COALESCE(o_orderstatus, '<all>') AS status,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue,
+           COUNT(*) AS n_orders,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
 def q_a8_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt): the pivot output back to long form — wide count
     columns become (user_id, metric, n) rows, zeros preserved."""
@@ -993,6 +1025,7 @@ QUERIES_EXT2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a6_pivot_counts": q_a6_pivot_counts,
     "a7_percentiles": q_a7_percentiles,
     "a8_unpivot": q_a8_unpivot,
+    "a9_rollup": q_a9_rollup,
     "t1_line_split": q_t1_line_split,
     "t3_block_assembly": q_t3_block_assembly,
     "r4_amount_clean": q_r4_amount_clean,
@@ -1015,6 +1048,7 @@ ORACLES_EXT2: dict[str, str] = {
     "a6_pivot_counts": _A6_ORACLE,
     "a7_percentiles": _A7_ORACLE,
     "a8_unpivot": _A8_ORACLE,
+    "a9_rollup": _A9_ORACLE,
     "r1_transaction_line": _R1_ORACLE,
     "r2_dual_date_line": _R2_ORACLE,
     "r3_deposit_withdrawal": _R3_ORACLE,
