@@ -39,11 +39,14 @@ SIMHASH_BITS = 32
 
 
 def tokenized(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, toks) with distinct whitespace tokens; empty docs dropped."""
-    return (
-        docs.select(id_col, F.array_distinct(F.split(F.col(text_col), " ")).alias("toks"))
-        .where(F.size("toks") > 0)
-    )
+    """(id, toks) with distinct whitespace tokens; empty docs dropped.
+    Tokenization delegates to the shared cross-engine primitive so the
+    dedup ladder cannot drift from the other ws_tokens consumers."""
+    from ..functions.text import ws_tokens
+
+    return docs.select(
+        id_col, ws_tokens(F.col(text_col), distinct=True).alias("toks")
+    ).where(F.size("toks") > 0)
 
 
 def minhash_signature_cols(toks=None) -> list:
@@ -97,7 +100,8 @@ def minhash_lsh_pairs(
     larger than max_bucket are DROPPED (their members are exact/near-exact
     duplicates by signature; route them through the cheaper exact-hash
     dedup instead) and the drop is observable via the returned plan's
-    `lsh_bucket_metrics` observation (n_buckets_dropped, n_ids_in_dropped).
+    `lsh_bucket_metrics` observation (n_buckets_dropped,
+    n_memberships_dropped — band memberships, not distinct docs).
     None (the gate default) disables the cap so the oracle mirror stays exact.
     """
     toks = tokenized(docs, id_col, text_col)
@@ -120,14 +124,18 @@ def minhash_lsh_pairs(
         )
         obs = Observation("lsh_bucket_metrics")
         # observe() forbids distinct aggregates: count buckets via the
-        # first-row flag instead of count_distinct
+        # first-row flag instead of count_distinct. NOTE the second metric
+        # counts BAND MEMBERSHIPS, not distinct documents — a doc landing in
+        # k oversized buckets contributes k (distinct-doc counting would need
+        # a disallowed distinct agg); it upper-bounds affected docs by
+        # N_BANDS x the true count.
         sized = sized.observe(
             obs,
             F.sum(
                 ((F.col("bucket_n") > max_bucket) & F.col("is_first")).cast("long")
             ).alias("n_buckets_dropped"),
             F.sum((F.col("bucket_n") > max_bucket).cast("long")).alias(
-                "n_ids_in_dropped"
+                "n_memberships_dropped"
             ),
         )
         bands = sized.where(F.col("bucket_n") <= max_bucket).drop(

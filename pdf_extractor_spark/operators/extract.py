@@ -76,10 +76,15 @@ def _extract_batches_arrow(batches):
     for rb in batches:
         texts = rb.column(rb.schema.get_field_index("text")).to_pylist()
         results = [extract_turn(t) for t in texts]
+        # coerce passthrough columns to the declared schema (an input with
+        # bigint turn_idx / non-string conv_id must behave exactly like the
+        # pandas variant's astype); no-op casts are zero-copy
+        conv_arr = rb.column(rb.schema.get_field_index("conv_id")).cast(pa.string())
+        idx_arr = rb.column(rb.schema.get_field_index("turn_idx")).cast(pa.int32())
         yield pa.record_batch(
             [
-                rb.column(rb.schema.get_field_index("conv_id")),
-                rb.column(rb.schema.get_field_index("turn_idx")),
+                conv_arr,
+                idx_arr,
                 pa.array([r.family for r in results], pa.string()),
                 pa.array([r.extracted_text for r in results], pa.string()),
                 pa.array([r.spans for r in results], span_t),

@@ -76,17 +76,25 @@ def fuzzy_topk_indel(
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            # token-sort once per distinct string in the batch, then score
-            lsorted = pdf["ltext"].map(token_sort)
-            rsorted = pdf["matched_text"].map(token_sort)
+            # token-sort once per DISTINCT string (the crossJoin repeats the
+            # broadcast dimension per left row; don't re-sort it per pair)
+            lmap = {s: token_sort(s) for s in pdf["ltext"].unique()}
+            rmap = {s: token_sort(s) for s in pdf["matched_text"].unique()}
             pdf = pdf.assign(
-                match_ratio=[indel_ratio(a, b) for a, b in zip(lsorted, rsorted)]
+                match_ratio=[
+                    indel_ratio(lmap[a], rmap[b])
+                    for a, b in zip(pdf["ltext"], pdf["matched_text"])
+                ]
             )
             yield pdf
 
+    key_type = left.schema[left_key].dataType.simpleString()
     scored = pairs.mapInPandas(
         score,
-        schema=f"{left_key} long, ltext string, matched_text string, match_ratio double",
+        schema=(
+            f"{left_key} {key_type}, ltext string, matched_text string, "
+            "match_ratio double"
+        ),
     )
     w = Window.partitionBy(left_key).orderBy(
         F.col("match_ratio").desc(), F.col("matched_text")

@@ -126,8 +126,11 @@ def run_incremental(
         "src_key", "conv_id", "turn_idx", "text"
     ).mapInPandas(_extract_batches_with_src, schema=EXTRACTED_WITH_SRC)
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    extracted.write.mode("overwrite").partitionBy("src_key").parquet(output_dir)
+    # dynamic overwrite scoped to THIS write only — leaking it session-wide
+    # would silently change later overwrite semantics for other writers
+    extracted.write.mode("overwrite").partitionBy("src_key").option(
+        "partitionOverwriteMode", "dynamic"
+    ).parquet(output_dir)
 
     # metrics from the WRITTEN output (what was committed, not what was
     # planned): per-file row counts, valid counts, per-rule hit totals

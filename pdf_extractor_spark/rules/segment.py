@@ -128,10 +128,18 @@ def classify_by_space_geometry(line: str) -> str | None:
     kinds = [k for k, _ in runs]
     if len(runs) < 3 or kinds[-1] != "number":
         return None
-    # find the space run immediately before the first trailing number group
+    # the space run immediately before the AMOUNT. With a trailing balance
+    # the tail is [..., spaces, amount, spaces, balance]: the run before the
+    # last number separates amount from balance — step back one more
+    # (number, spaces) pair to reach the run before the amount itself.
     idx = len(runs) - 2
-    if kinds[idx] == "number" and idx - 1 >= 0 and kinds[idx - 1] == "spaces":
-        idx -= 1  # two trailing numbers (amount + balance)
+    if (
+        idx - 2 >= 0
+        and kinds[idx] == "spaces"
+        and kinds[idx - 1] == "number"
+        and kinds[idx - 2] == "spaces"
+    ):
+        idx -= 2  # two trailing numbers (amount + balance)
     if kinds[idx] != "spaces":
         return None
     width = runs[idx][1]

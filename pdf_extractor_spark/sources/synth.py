@@ -196,13 +196,17 @@ def gen_csv_capitalone(rng: random.Random) -> str:
     ]
     for _ in range(rng.randint(2, 5)):
         d = rng.randint(1, 28)
+        # CSV exports render amounts WITHOUT thousands commas (an embedded
+        # comma would add a field); _amt()'s '1,234.56' form belongs to the
+        # PDF families only
+        amt = f"{round(rng.uniform(1.0, 2500.0), 2):.2f}"
         if rng.random() < 0.7:
             lines.append(
-                f"2024-01-{d:02d},2024-01-{min(d+1,28):02d},1234,{_merch(rng)},Other,{_amt(rng)},"
+                f"2024-01-{d:02d},2024-01-{min(d+1,28):02d},1234,{_merch(rng)},Other,{amt},"
             )
         else:
             lines.append(
-                f"2024-01-{d:02d},2024-01-{min(d+1,28):02d},1234,PAYMENT RECEIVED,Payment,,{_amt(rng)}"
+                f"2024-01-{d:02d},2024-01-{min(d+1,28):02d},1234,PAYMENT RECEIVED,Payment,,{amt}"
             )
     return "\n".join(lines)
 

@@ -3,12 +3,13 @@
 offers beyond windowed aggs).
 
 Tracks, per conversation, across micro-batches: cumulative turn count,
-cumulative text chars, and the highest turn_idx seen with a contiguity
-watermark (next_expected) — the streaming analog of the batch lineage
-"did every turn arrive, in order?" check. State is a single small tuple per
-conversation; a processing-time timeout (configurable) would expire idle
-conversations at 10^12-turn scale — left NoTimeout here so availableNow
-drains deterministically for tests.
+cumulative text chars, and the highest turn_idx seen; each update also emits
+a DERIVED contiguity flag (count == max_idx + 1) — the streaming analog of
+the batch lineage "did every turn arrive?" check, computed from state so the
+final answer is independent of how the source split micro-batches. State is
+a single small tuple per conversation; a processing-time timeout
+(configurable) would expire idle conversations at 10^12-turn scale — left
+NoTimeout here so availableNow drains deterministically for tests.
 """
 
 from __future__ import annotations
@@ -22,16 +23,14 @@ OUTPUT_SCHEMA = (
     "conv_id string, turns_seen long, chars_seen long, max_turn_idx int, "
     "contiguous boolean"
 )
-STATE_SCHEMA = "turns long, chars long, max_idx int, missing boolean"
+STATE_SCHEMA = "turns long, chars long, max_idx int"
 
 
 def _update_conv(
     key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     (conv_id,) = key
-    turns, chars, max_idx, missing = (
-        state.get if state.exists else (0, 0, -1, False)
-    )
+    turns, chars, max_idx = state.get if state.exists else (0, 0, -1)
     seen: set[int] = set()
     for pdf in batches:
         turns += len(pdf)
@@ -39,18 +38,21 @@ def _update_conv(
         seen.update(int(i) for i in pdf["turn_idx"])
     if seen:
         max_idx = max(max_idx, max(seen))
-    # contiguity: after this batch, have we seen 0..max_idx? (approximate
-    # cross-batch check: a gap ever observed stays flagged)
-    expected = turns  # contiguous iff count == max_idx + 1 (no dups assumed)
-    missing = missing or (expected != max_idx + 1)
-    state.update((turns, chars, max_idx, missing))
+    state.update((turns, chars, max_idx))
+    # contiguity is DERIVED from cumulative state (count == max_idx + 1, no
+    # dups assumed), never latched: a latched flag would depend on how the
+    # source happened to split micro-batches (out-of-order arrival within the
+    # stream), making the final answer batching-dependent. Derived form is
+    # invariant: same input drained in any batch split yields the same final
+    # state and the same last update row.
+    contiguous = turns == max_idx + 1
     yield pd.DataFrame(
         {
             "conv_id": [conv_id],
             "turns_seen": [turns],
             "chars_seen": [chars],
             "max_turn_idx": [max_idx],
-            "contiguous": [not missing],
+            "contiguous": [contiguous],
         }
     )
 

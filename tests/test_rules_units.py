@@ -76,4 +76,9 @@ def test_t6_geometry_runs_and_classification():
     # wide gap before amount -> deposit column; narrow -> withdrawal
     assert classify_by_space_geometry("12/5 STORE     1,200.00") == "deposit"
     assert classify_by_space_geometry("12/5 STORE   1,200.00") == "withdrawal"
+    # amount + trailing balance: the gap BEFORE THE AMOUNT decides, not the
+    # amount-to-balance separator (regression: that branch used to be dead
+    # and every balance-bearing line classified as withdrawal)
+    assert classify_by_space_geometry("12/5 ACME PAYROLL     2,000.00  9,000.00") == "deposit"
+    assert classify_by_space_geometry("12/5 ACME RENT   2,000.00  9,000.00") == "withdrawal"
     assert classify_by_space_geometry("no trailing amount") is None

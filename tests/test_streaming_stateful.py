@@ -56,7 +56,7 @@ def test_state_resumes_from_checkpoint(spark, dirs):
     got = {r.conv_id: r for r in latest_state(spark, dirs["out"]).collect()}
     a, b = got["conv_a"], got["conv_b"]
     assert (a.turns_seen, a.max_turn_idx, a.contiguous) == (4, 3, True)
-    # conv_b's gap got filled count-wise (3 == max_idx+1) but the flag latched
-    # when the gap was observed — streaming updates don't retract, by design
-    assert (b.turns_seen, b.max_turn_idx) == (3, 2)
-    assert b.contiguous is False
+    # conv_b's gap at turn 1 is now filled: the DERIVED contiguity flag
+    # (count == max_idx + 1) recovers — it must not depend on which
+    # micro-batch the late turn arrived in
+    assert (b.turns_seen, b.max_turn_idx, b.contiguous) == (3, 2, True)
