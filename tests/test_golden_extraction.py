@@ -73,6 +73,27 @@ def test_every_family_appears(transcripts):
     } <= fams
 
 
+import pytest
+
+
+@pytest.mark.slow
+def test_deep_corpus_byte_parity(spark):
+    """10x corpus (300 convs, ~4.8k turns): broad rule-path sweep at the
+    same byte-for-byte bar (catches low-probability branches the 40-conv
+    corpus may miss: NBSP periods, gift cards, year boundaries, quarantines)."""
+    deep = generate_transcripts(n_convs=300, seed=1337)
+    golden = oracle_frame(deep)
+    sdf = spark.createDataFrame(deep, schema=TRANSCRIPTS)
+    out = stable_turn_order(extract_turns(sdf, salt_partitions=16)).toPandas()
+    assert list(out["extracted_text"]) == list(golden["extracted_text"])
+    assert list(out["valid"]) == list(golden["valid"])
+    got_hits = [dict(sorted(h.items())) for h in out["rule_hits"]]
+    assert got_hits == list(golden["rule_hits"])
+    # the sweep must actually exercise the rare paths
+    all_hits = {k for h in golden["rule_hits"] for k in h}
+    assert {"p5_quarantined", "p6_footer_dropped"} <= all_hits
+
+
 def test_contract_invariants(transcripts):
     """Ported from reference tests/test_parser_contracts.py: sign conventions,
     ISO date shape, required fields on the valid branch."""
