@@ -40,6 +40,7 @@ HEADLINE = [
     "tpch_q3_shipping",
     "a5_dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_full_capped",
     "w6_sessionize",
     "text_quality_score",
     "sim_bruteforce_topk",
