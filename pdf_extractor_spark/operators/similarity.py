@@ -58,17 +58,42 @@ def assign_clusters(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
     )
 
 
+def probe_clusters(emb: DataFrame, n_centroids: int, nprobe: int) -> DataFrame:
+    """Top-nprobe nearest centroids per vector: (vec_id, e, cluster) with one
+    row per probed cluster (nprobe=1 == assign_clusters)."""
+    cents = F.broadcast(
+        emb.where(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cent_id"), F.col("e").alias("ce")
+        )
+    )
+    scored = emb.crossJoin(cents).select(
+        "vec_id", "e", "cent_id", cosine(F.col("e"), F.col("ce")).alias("ccos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= nprobe)
+        .select("vec_id", "e", F.col("cent_id").alias("cluster"))
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: tuple[int, int] = (20, 30),
     k: int = 3,
     n_centroids: int = 8,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF approximate top-k: probe only the query's own cluster.
+    """IVF approximate top-k: corpus vectors live in their ONE nearest
+    cluster; each query probes its ``nprobe`` nearest clusters (the standard
+    recall/latency knob — nprobe == n_centroids degenerates to brute force).
     Returns (query_id, neighbor_id, cosine, rank) — 4-dp fixed point,
     (cos desc, neighbor_id) tiebreak."""
     assigned = assign_clusters(as_double(emb).select("vec_id", "e"), n_centroids)
-    queries = assigned.where(
+    probes = probe_clusters(
+        as_double(emb).select("vec_id", "e"), n_centroids, nprobe
+    )
+    queries = probes.where(
         (F.col("vec_id") >= query_ids[0]) & (F.col("vec_id") < query_ids[1])
     ).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("cluster").alias("qc")
@@ -76,7 +101,7 @@ def ivf_topk(
     pairs = assigned.join(
         F.broadcast(queries),
         (F.col("cluster") == F.col("qc")) & (F.col("vec_id") != F.col("query_id")),
-    )
+    ).dropDuplicates(["query_id", "vec_id"])
     scored = pairs.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
