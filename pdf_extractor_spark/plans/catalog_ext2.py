@@ -765,6 +765,67 @@ _A9_ORACLE = """
 """
 
 
+def q_a10_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube (all grouping-set combinations over two dims) with grouping_id."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 200)
+    return (
+        ev.cube("event_type", (F.col("user_id") % 4).alias("user_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.grouping_id().cast("long").alias("gid"))
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("etype"),
+            F.coalesce(F.col("user_bucket").cast("string"), F.lit("<all>")).alias("bucket"),
+            "n",
+            "gid",
+        )
+    )
+
+
+_A10_ORACLE = """
+    SELECT COALESCE(event_type, '<all>') AS etype,
+           COALESCE(CAST(user_id % 4 AS VARCHAR), '<all>') AS bucket,
+           COUNT(*) AS n,
+           CAST(GROUPING(event_type) * 2 + GROUPING(user_id % 4) AS BIGINT) AS gid
+    FROM events WHERE user_id < 200
+    GROUP BY CUBE (event_type, user_id % 4)
+"""
+
+
+def q_r11_last_row_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R11 statement-date-from-last-row with the provenance enum
+    (wellsfargo_checking_csv_parser.py:119-128, models.py:47-50): when no
+    content date exists, the last valid row's date becomes the statement
+    date, tagged date_source='last_row'."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.date_format(F.max("ts"), "yyyy-MM-dd").alias("statement_date"),
+        F.lit("last_row").alias("date_source"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd").alias("period_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd").alias("period_end"),
+    )
+
+
+_R11_ORACLE = """
+    SELECT user_id,
+           strftime(MAX(ts), '%Y-%m-%d') AS statement_date,
+           'last_row' AS date_source,
+           strftime(MIN(ts), '%Y-%m-%d') AS period_start,
+           strftime(MAX(ts), '%Y-%m-%d') AS period_end
+    FROM events GROUP BY user_id
+"""
+
+
+def q_a11_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct per group (rows-only: sketch values are
+    engine-specific; tests/test_approx.py bounds the error vs exact).
+    At 100TB this replaces exact count_distinct's full shuffle of the
+    distinct keys with fixed-size mergeable sketches."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def q_a8_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt): the pivot output back to long form — wide count
     columns become (user_id, metric, n) rows, zeros preserved."""
@@ -1026,6 +1087,9 @@ QUERIES_EXT2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a7_percentiles": q_a7_percentiles,
     "a8_unpivot": q_a8_unpivot,
     "a9_rollup": q_a9_rollup,
+    "a10_cube": q_a10_cube,
+    "a11_approx_distinct": q_a11_approx_distinct,
+    "r11_last_row_provenance": q_r11_last_row_provenance,
     "t1_line_split": q_t1_line_split,
     "t3_block_assembly": q_t3_block_assembly,
     "r4_amount_clean": q_r4_amount_clean,
@@ -1049,6 +1113,8 @@ ORACLES_EXT2: dict[str, str] = {
     "a7_percentiles": _A7_ORACLE,
     "a8_unpivot": _A8_ORACLE,
     "a9_rollup": _A9_ORACLE,
+    "a10_cube": _A10_ORACLE,
+    "r11_last_row_provenance": _R11_ORACLE,
     "r1_transaction_line": _R1_ORACLE,
     "r2_dual_date_line": _R2_ORACLE,
     "r3_deposit_withdrawal": _R3_ORACLE,
