@@ -407,7 +407,71 @@ def q_j2_fuzzy_indel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_topk_indel(left, dim, "p_partkey", "p_name", "p_name")
 
 
+def q_set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops beyond the reference's union-all: customers appearing in both
+    order halves (INTERSECT) and only in the first (EXCEPT), tagged."""
+    orders = _t(spark, sf_dir, "orders")
+    first = orders.where(F.col("o_orderkey") % 2 == 0).select("o_custkey")
+    second = orders.where(F.col("o_orderkey") % 2 == 1).select("o_custkey")
+    both = first.intersect(second).withColumn("membership", F.lit("both"))
+    # subtract == SQL set EXCEPT (distinct); exceptAll would leak rows whose
+    # multiplicity in `first` exceeds that in `second`
+    only_first = first.subtract(second).withColumn("membership", F.lit("only_even"))
+    return both.unionByName(only_first)
+
+
+_SETOPS_ORACLE = """
+    WITH f AS (SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0),
+    s AS (SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 1)
+    SELECT o_custkey, 'both' AS membership FROM (SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM s)
+    UNION ALL
+    SELECT o_custkey, 'only_even' AS membership FROM (SELECT DISTINCT o_custkey FROM f EXCEPT SELECT o_custkey FROM s)
+"""
+
+
+def q_dedup_trigram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram Jaccard near-dup pairs: shingle set = distinct
+    3-char windows, pairwise Jaccard >= 0.8 on a bounded subset. The
+    char-shingle variant catches near-dups that word-level tokens miss
+    (reordered/merged words); MinHash over the same shingles is the scale
+    path."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    idx = F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(1)))
+    sh = F.array_distinct(
+        F.transform(idx, lambda i: F.col("text").substr(i, F.lit(3)))
+    )
+    g = docs.select("doc_id", sh.alias("sh")).where(F.size("sh") > 0)
+    a = g.select(F.col("doc_id").alias("d1"), F.col("sh").alias("s1"))
+    b = g.select(F.col("doc_id").alias("d2"), F.col("sh").alias("s2"))
+    pairs = a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
+    inter = F.size(F.array_intersect("s1", "s2")).cast("double")
+    union = F.size("s1") + F.size("s2") - F.size(F.array_intersect("s1", "s2"))
+    jac = F.floor(inter / union * 10000 + F.lit(0.5)) / 10000.0
+    return pairs.select("d1", "d2", jac.alias("jaccard")).where(
+        F.col("jaccard") >= 0.8
+    )
+
+
+_TRIGRAM_ORACLE = """
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct([substr(text, CAST(i AS INT), 3)
+                            for i in range(1, greatest(length(text) - 2, 1) + 1)]) AS sh
+      FROM documents WHERE doc_id < 150),
+    p AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             len(list_intersect(a.sh, b.sh))::DOUBLE AS inter,
+             len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS un
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+    SELECT d1, d2, FLOOR(inter / un * 10000 + 0.5) / 10000.0 AS jaccard
+    FROM p WHERE FLOOR(inter / un * 10000 + 0.5) / 10000.0 >= 0.8
+"""
+
+
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "set_intersect_except": q_set_intersect_except,
+    "dedup_trigram_jaccard": q_dedup_trigram_jaccard,
     "j2_fuzzy_indel_topk": q_j2_fuzzy_indel_topk,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_full_capped": q_dedup_minhash_full_capped,
@@ -422,6 +486,8 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_EXT: dict[str, str] = {
+    "set_intersect_except": _SETOPS_ORACLE,
+    "dedup_trigram_jaccard": _TRIGRAM_ORACLE,
     "dedup_minhash_lsh": _minhash_lsh_oracle(),
     "dedup_minhash_full_capped": _minhash_lsh_oracle(where="TRUE", cap=64),
     "dedup_simhash": _simhash_oracle(),
