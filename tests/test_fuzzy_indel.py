@@ -73,3 +73,15 @@ def test_fuzzy_topk_indel_end_to_end(spark):
     assert got[1].match_ratio == token_sort_indel_ratio("red widget pro", "widget red")
     assert got[2].matched_text == "bolt blue xl"
     assert len(got) == 3  # argmax always yields one row per left key
+
+
+@pytest.mark.slow
+def test_fuzzy_topk_string_key_schema(spark):
+    # regression: the output schema is derived from the left key's type
+    # (was hardcoded 'long', failing for string ids)
+    left = spark.createDataFrame(
+        [("conv_a", "red widget"), ("conv_b", "green gear")], "cid string, name string"
+    )
+    dim = spark.createDataFrame([("widget red",), ("gear green",)], "title string")
+    got = {r.cid: r.matched_text for r in fuzzy_topk_indel(left, dim, "cid", "name", "title").collect()}
+    assert got == {"conv_a": "widget red", "conv_b": "gear green"}

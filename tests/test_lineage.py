@@ -92,3 +92,19 @@ def test_lineage_metrics_reconcile(spark, dirs):
         .agg(F.sum("n").cast("long").alias("n"))
     )
     assert sorted(map(tuple, lin_hits.collect())) == sorted(map(tuple, out_hits.collect()))
+
+
+def test_new_files_processed_incrementally(spark, dirs):
+    # files that appear AFTER a completed run are the only pending work
+    extra = generate_transcripts(n_convs=5, seed=99)
+    spark.createDataFrame(extra, schema=TRANSCRIPTS).coalesce(1).write.mode(
+        "append"
+    ).parquet(dirs["input"])
+    summary = run_incremental(
+        spark, dirs["input"], dirs["output"], dirs["lineage"], run_id="r4"
+    )
+    assert summary["files"] == 1
+    assert summary["rows"] == len(extra)
+    out = spark.read.parquet(dirs["output"])
+    assert out.count() == dirs["n_rows"] + len(extra)
+    assert pending_files(spark, dirs["input"], dirs["lineage"]).count() == 0

@@ -72,3 +72,15 @@ def test_resize_plan_arithmetic(media):
     assert r.new_h == int(r.h * scale + 0.5)
     assert r.pad_x == (224 - r.new_w) // 2
     assert max(r.new_w, r.new_h) <= 224
+
+
+def test_custom_decoder_injection(media):
+    # a real decoder plugs in via the decoder parameter; its outputs flow
+    # through the same Arrow plumbing
+    def byte_len_features(payload: bytes, kind: str) -> list[float]:
+        return [float(len(payload)), float(payload[0]), 1.0 if kind == "image" else 0.0]
+
+    feats = {r.media_id: r for r in extract_media_features(media, decoder=byte_len_features).collect()}
+    sample = [r for r in media.collect() if r.media_id == 3][0]
+    assert feats[3].features == byte_len_features(bytes(sample.payload), sample.kind)
+    assert len(feats[3].features) == 3
