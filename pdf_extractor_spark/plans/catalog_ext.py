@@ -307,6 +307,39 @@ def _langid_oracle() -> str:
     """
 
 
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automated Readability Index (quality-filter feature): pure arithmetic
+    over char/word/sentence counts — 4.71*(chars/words) + 0.5*(words/
+    sentences) - 21.43, 6-dp fixed point."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.size(F.split(F.col("text"), " ")).cast("double")
+    chars = F.length(F.regexp_replace(F.col("text"), r"\s", "")).cast("double")
+    sents = F.greatest(F.size(F.split(F.col("text"), r"\. ")), F.lit(1)).cast("double")
+    ari = 4.71 * (chars / words) + 0.5 * (words / sents) - 21.43
+    return docs.select(
+        "doc_id",
+        (F.floor(ari * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("ari"),
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+    )
+
+
+_READABILITY_ORACLE = r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS words,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS chars,
+             CAST(greatest(len(string_split_regex(text, '\. ')), 1) AS DOUBLE) AS sents
+      FROM documents)
+    SELECT doc_id,
+           FLOOR((4.71 * (chars / words) + 0.5 * (words / sents) - 21.43)
+                 * 1000000.0 + 0.5) / 1000000.0 AS ari,
+           CAST(words AS BIGINT) AS n_words,
+           CAST(sents AS BIGINT) AS n_sentences
+    FROM t
+"""
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint: min h32 over all 8-char shingles
     (functions/text.py rolling_fingerprint) — winnowing-style content id."""
@@ -481,6 +514,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ivf_topk": q_sim_ivf_topk,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
+    "text_readability": q_text_readability,
     "text_bpe_token_count": q_text_bpe_token_count,
     "j2_fuzzy_topk": q_j2_fuzzy_topk,
 }
@@ -496,6 +530,7 @@ ORACLES_EXT: dict[str, str] = {
     "sim_ivf_topk": _IVF_ORACLE,
     "text_langid": _langid_oracle(),
     "text_fingerprint": _FINGERPRINT_ORACLE,
+    "text_readability": _READABILITY_ORACLE,
     "text_bpe_token_count": _BPE_ORACLE,
     "j2_fuzzy_topk": _J2_ORACLE,
 }
