@@ -59,20 +59,21 @@ def rolling_fingerprint_sql(expr: str, k: int = 8) -> str:
 # R13 strip list in reference order (transaction_normalizer.py:390-399);
 # mirrors rules/textnorm.py — (?i) inline flag works in both Java and Python
 REF_STRIP_PATTERNS = (
-    r"(?i)POS DEBIT \d+",
-    r"(?i)ACH DEBIT \d+",
-    r"(?i)ACH CREDIT \d+",
-    r"(?i)POS CREDIT \d+",
+    r"(?i)POS\s+DEBIT\s+\d+",
+    r"(?i)ACH\s+DEBIT\s+\d+",
+    r"(?i)ACH\s+CREDIT\s+\d+",
+    r"(?i)POS\s+CREDIT\s+\d+",
     r"(?i)\d{4}\*",
     r"(?i)REF\s*\d+",
     r"(?i)TRANS\s*\d+",
-    r"(?i)PURCHASE AUTH \d+",
+    r"(?i)PURCHASE\s+AUTH\s+\d+",
 )
 
 
-def normalize_description_expr(col: Column) -> Column:
-    """Native-expression tier of R13+R15+R14 (rules/textnorm.py
-    normalize_description): whole-stage-codegen, zero Python.
+def normalize_description_expr(col: Column, strip_trailing: bool = False) -> Column:
+    """Native-expression tier of R13+R14 (rules/textnorm.py
+    normalize_description; R15 via strip_trailing=True, mirroring the Python
+    tier's bank-specific opt-in): whole-stage-codegen, zero Python.
 
     Parity domain: printable-ASCII + NBSP + control chars — the reference's
     actual input domain. OUTSIDE it (exotic unicode whitespace like \\u2028)
@@ -86,8 +87,9 @@ def normalize_description_expr(col: Column) -> Column:
     s = F.regexp_replace(col, "\u00a0", " ")
     for pat in REF_STRIP_PATTERNS:
         s = F.regexp_replace(s, pat, "")
-    s = F.regexp_replace(s, r"XXXXXXXXXXXX\d+", "")  # R15 masked card
-    s = F.regexp_replace(s, r"\s+\d+\s*$", "")  # R15 trailing ref run
+    if strip_trailing:
+        s = F.regexp_replace(s, r"XXXXXXXXXXXX\d+", "")  # R15 masked card
+        s = F.regexp_replace(s, r"\s+\d+\s*$", "")  # R15 trailing ref run
     s = F.regexp_replace(s, r"\s+", " ")  # R14 collapse
     return F.trim(s)
 

@@ -96,7 +96,7 @@ def q_r13_description_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     native-expression tier (whole-stage codegen, no Python)."""
     docs = _t(spark, sf_dir, "documents")
     cleaned = F.col("text")
-    for pat in (r"POS DEBIT \d+", r"ACH DEBIT \d+", r"REF\s*\d+"):
+    for pat in (r"POS\s+DEBIT\s+\d+", r"ACH\s+DEBIT\s+\d+", r"REF\s*\d+"):
         cleaned = F.regexp_replace(cleaned, pat, "")
     cleaned = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
     return docs.select("doc_id", cleaned.alias("clean_text"))
@@ -653,8 +653,8 @@ _ORACLES: dict[str, str] = {
                trim(regexp_replace(
                    regexp_replace(
                        regexp_replace(
-                           regexp_replace(text, 'POS DEBIT \d+', '', 'g'),
-                           'ACH DEBIT \d+', '', 'g'),
+                           regexp_replace(text, 'POS\s+DEBIT\s+\d+', '', 'g'),
+                           'ACH\s+DEBIT\s+\d+', '', 'g'),
                        'REF\s*\d+', '', 'g'),
                    '\s+', ' ', 'g')) AS clean_text
         FROM documents

@@ -10,6 +10,8 @@ semantics it re-implements. A family function returns ``ExtractResult``:
 
 from __future__ import annotations
 
+import csv as _csv
+import io as _io
 import re
 from typing import NamedTuple
 
@@ -19,7 +21,6 @@ from .amounts import clean_amount, normalize_sign
 from .boilerplate import is_footer_line, is_section_marker, strip_boilerplate_lines
 from .segment import (
     Line,
-    assemble_blocks,
     capture_between,
     classify_by_space_geometry,
     split_lines,
@@ -97,7 +98,14 @@ def extract_chase_visa(text: str) -> ExtractResult:
             cur = [" ".join(toks[1:-1])]
             cur_meta = (toks[0], amt if amt is not None else 0.0, ln.start, ln.end)
             _hit(hits, "r1_txn_line")
-        elif cur is not None and not _MMDD_TOKEN.match(toks[0] if toks else ""):
+        elif (
+            cur is not None
+            and not _MMDD_TOKEN.match(toks[0] if toks else "")
+            and (not toks or clean_amount(toks[-1]) is None)
+        ):
+            # continuation only while the line does NOT end in a number —
+            # the reference stops assembly there (chase_visa_parser.py:71-79
+            # `not self._is_number(lines[j].split()[-1])`)
             cur.append(ln.text)
             if cur_meta:
                 cur_meta = (*cur_meta[:3], ln.end)
@@ -479,8 +487,10 @@ def extract_amazon_order(text: str) -> ExtractResult:
         parts = _AMZ_ITEM_SPLIT.split(items_text)
         pos = 0
         for part in parts:
-            part_off = items_text.find(part, pos)
-            pos = part_off + len(part)
+            # zero-width-lookahead split: parts concatenate exactly to
+            # items_text, so offsets accumulate — no re-scan needed
+            part_off = pos
+            pos += len(part)
             qm = _AMZ_QTY.search(part)
             if not qm:
                 continue
@@ -529,13 +539,19 @@ def extract_csv_capitalone(text: str) -> ExtractResult:
             continue
         if not seen_header:
             continue
-        cols = ln.text.split(",")
+        # csv.reader like the reference's pd.read_csv: quoted descriptions
+        # may carry commas ('"AMAZON.COM, INC"') that a raw split would
+        # explode into extra columns and silently drop
+        cols = next(_csv.reader(_io.StringIO(ln.text)), [])
         if len(cols) != 7:
             continue
         tdate, _pdate, _card, desc, _cat, debit, credit = cols
         iso = D.parse_date(tdate)
-        if debit.strip():
-            amt = -abs(clean_amount(debit) or 0.0)
+        d = clean_amount(debit)
+        # reference: np.where(Debit != 0, -abs(Debit), abs(Credit)) — an
+        # explicit '0.00' debit takes the CREDIT branch, not string truthiness
+        if d is not None and d != 0:
+            amt = -abs(d)
             ttype = "charge"
         else:
             amt = abs(clean_amount(credit) or 0.0)
@@ -583,7 +599,9 @@ def extract_noisy_desc(text: str) -> ExtractResult:
         s = ln.text
         if s.startswith("MEMO "):
             s = s[5:]
-        cleaned = TN.normalize_description(TN.strip_non_printable(s))
+        # strip_trailing=True: this family models FR-style memo lines, so the
+        # bank-specific R15 tail strip applies (first_republic:430-432)
+        cleaned = TN.normalize_description(TN.strip_non_printable(s), strip_trailing=True)
         if cleaned:
             out.append(cleaned)
             _hit(hits, "r13_description_normalized")

@@ -37,13 +37,15 @@ _BLOCK_BREAK = re.compile(
 )
 _ANCHOR = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.IGNORECASE | re.DOTALL)
 _TAG = re.compile(r"<[^>]+>")
+# &amp; must unescape LAST: doing it first would double-unescape sequences
+# like '&amp;lt;' (which renders as the literal '&lt;', not '<')
 _ENTITIES = (
     ("&nbsp;", " "),
-    ("&amp;", "&"),
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
     ("&#39;", "'"),
+    ("&amp;", "&"),
 )
 
 DENSITY_MIN = 0.35

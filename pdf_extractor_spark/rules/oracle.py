@@ -78,6 +78,13 @@ def extract_turn(text: str | None) -> TurnResult:
                 reasons.append(problem)
             hits["p5_quarantined"] = hits.get("p5_quarantined", 0) + 1
     valid = not reasons
+    if not result.records and not reasons:
+        # a record-family turn that produced NOTHING: legal (a cover page
+        # detected by its header) but worth surfacing — silent zero-record
+        # extraction is how data loss hides (e.g. case-mismatched section
+        # headers, which the reference parsers share: can_parse lowercases,
+        # parse matches exactly)
+        hits["zero_records"] = 1
     return TurnResult(
         family,
         "\n".join(lines),

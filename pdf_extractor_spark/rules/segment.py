@@ -15,6 +15,14 @@ import re
 from typing import Callable, NamedTuple
 
 
+class Run(NamedTuple):
+    """A (kind, length, text) run from the T6 line profiler."""
+
+    kind: str
+    length: int
+    text: str
+
+
 class Line(NamedTuple):
     """A source line with its char span in the original text (T1 keeps order
     AND offsets so spans survive to the output)."""
@@ -100,10 +108,10 @@ def capture_between(text: str, start_marker: str, end_marker: str) -> tuple[str,
 _RUNS = re.compile(r"(\d[\d,.]*|[ ]+|[^\s\d]+[^\s]*)")
 
 
-def analyze_line_elements(line: str) -> list[tuple[str, int]]:
-    """T6: tokenize a line into (kind, length) runs, kind in
+def analyze_line_elements(line: str) -> list[Run]:
+    """T6: tokenize a line into (kind, length, text) runs, kind in
     {'number','spaces','text'} (wellsfargo_bank_parser.py:81-126)."""
-    out: list[tuple[str, int]] = []
+    out: list[Run] = []
     for m in _RUNS.finditer(line):
         tok = m.group(0)
         if tok[0] == " ":
@@ -112,8 +120,13 @@ def analyze_line_elements(line: str) -> list[tuple[str, int]]:
             kind = "number"
         else:
             kind = "text"
-        out.append((kind, len(tok)))
+        out.append(Run(kind, len(tok), tok))
     return out
+
+
+# decimal amount shape (two decimals) — the same test the extractors use to
+# decide a trailing token is money rather than a check/store number
+_AMOUNT_RUN = re.compile(r"^-?[\d,]+\.\d{2}$")
 
 
 def classify_by_space_geometry(line: str) -> str | None:
@@ -125,22 +138,26 @@ def classify_by_space_geometry(line: str) -> str | None:
     when the line has no trailing amount."""
     runs = analyze_line_elements(line)
     # need ... spaces number [spaces number] at the end
-    kinds = [k for k, _ in runs]
+    kinds = [r.kind for r in runs]
     if len(runs) < 3 or kinds[-1] != "number":
         return None
     # the space run immediately before the AMOUNT. With a trailing balance
     # the tail is [..., spaces, amount, spaces, balance]: the run before the
     # last number separates amount from balance — step back one more
     # (number, spaces) pair to reach the run before the amount itself.
+    # The stepped-over run must be a DECIMAL amount (same _AMOUNT_RUN test
+    # the extractors use): a bare integer there is a check/store number in
+    # the description ('CHECK 105      320.00'), not an amount+balance pair.
     idx = len(runs) - 2
     if (
         idx - 2 >= 0
         and kinds[idx] == "spaces"
         and kinds[idx - 1] == "number"
+        and _AMOUNT_RUN.match(runs[idx - 1].text)
         and kinds[idx - 2] == "spaces"
     ):
         idx -= 2  # two trailing numbers (amount + balance)
     if kinds[idx] != "spaces":
         return None
-    width = runs[idx][1]
+    width = runs[idx].length
     return "deposit" if width >= 4 else "withdrawal"

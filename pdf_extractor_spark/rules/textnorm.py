@@ -14,18 +14,20 @@ from __future__ import annotations
 import re
 
 # R13: reference-number strip list, applied in this exact order
-# (transaction_normalizer.py:390-399). IGNORECASE like the reference.
+# (transaction_normalizer.py:390-399). IGNORECASE and \s+ separators like the
+# reference (its patterns are r'POS\s+DEBIT\s+\d+' etc., so multi-space
+# fragments from PDF text dumps are stripped too).
 _REF_STRIP_PATTERNS: list[re.Pattern[str]] = [
     re.compile(p, re.IGNORECASE)
     for p in (
-        r"POS DEBIT \d+",
-        r"ACH DEBIT \d+",
-        r"ACH CREDIT \d+",
-        r"POS CREDIT \d+",
+        r"POS\s+DEBIT\s+\d+",
+        r"ACH\s+DEBIT\s+\d+",
+        r"ACH\s+CREDIT\s+\d+",
+        r"POS\s+CREDIT\s+\d+",
         r"\d{4}\*",  # masked card fragment
         r"REF\s*\d+",
         r"TRANS\s*\d+",
-        r"PURCHASE AUTH \d+",
+        r"PURCHASE\s+AUTH\s+\d+",
     )
 ]
 
@@ -33,8 +35,8 @@ _REF_STRIP_PATTERNS: list[re.Pattern[str]] = [
 # when it misses (the common case) the 8-sub chain is skipped entirely.
 # Purely an optimization — results are identical (goldens + property tests).
 _ANY_REF = re.compile(
-    r"(?i)POS DEBIT \d|ACH DEBIT \d|ACH CREDIT \d|POS CREDIT \d"
-    r"|\d{4}\*|REF\s*\d|TRANS\s*\d|PURCHASE AUTH \d"
+    r"(?i)POS\s+DEBIT\s+\d|ACH\s+DEBIT\s+\d|ACH\s+CREDIT\s+\d|POS\s+CREDIT\s+\d"
+    r"|\d{4}\*|REF\s*\d|TRANS\s*\d|PURCHASE\s+AUTH\s+\d"
 )
 
 # R15: trailing artifacts (first_republic_bank_parser.py:430-432)
@@ -64,16 +66,20 @@ def strip_trailing_artifacts(s: str) -> str:
     return s
 
 
-def normalize_description(s: str) -> str:
-    """R13+R14+R15 chained in reference order (transaction_normalizer.py:381-407).
-
-    Returns the canonical description: ref-number patterns removed, masked
-    cards and trailing digit runs stripped, whitespace collapsed.
+def normalize_description(s: str, strip_trailing: bool = False) -> str:
+    """R13+R14 chained in reference order (transaction_normalizer.py:381-407):
+    ref-number patterns removed, whitespace collapsed. The reference's GLOBAL
+    chain contains no trailing-digit strip — R15 (masked cards + trailing ref
+    runs, first_republic_bank_parser.py:430-432) is bank-specific, enabled
+    via ``strip_trailing=True`` for the families whose reference parser
+    applies it; elsewhere legitimate trailing numbers (store/check ids)
+    survive, matching the reference byte-for-byte.
     """
     if not s:
         return ""
     if _ANY_REF.search(s):
         for pat in _REF_STRIP_PATTERNS:
             s = pat.sub("", s)
-    s = strip_trailing_artifacts(s)
+    if strip_trailing:
+        s = strip_trailing_artifacts(s)
     return collapse_whitespace(s)

@@ -71,7 +71,7 @@ def test_format_amount_reference_float_repr():
 
 def test_t6_geometry_runs_and_classification():
     runs = analyze_line_elements("12/5 STORE     1,200.00  4,500.00")
-    kinds = [k for k, _ in runs]
+    kinds = [r.kind for r in runs]
     assert kinds[0] == "number" and "spaces" in kinds and "text" in kinds
     # wide gap before amount -> deposit column; narrow -> withdrawal
     assert classify_by_space_geometry("12/5 STORE     1,200.00") == "deposit"
@@ -81,4 +81,87 @@ def test_t6_geometry_runs_and_classification():
     # and every balance-bearing line classified as withdrawal)
     assert classify_by_space_geometry("12/5 ACME PAYROLL     2,000.00  9,000.00") == "deposit"
     assert classify_by_space_geometry("12/5 ACME RENT   2,000.00  9,000.00") == "withdrawal"
+    # a bare integer in the description is NOT an amount+balance pair: the
+    # wide run before the single real amount decides (regression)
+    assert classify_by_space_geometry("1/05 CHECK 105      320.00") == "deposit"
     assert classify_by_space_geometry("no trailing amount") is None
+
+
+def test_forward_fill_and_assemble_blocks():
+    from pdf_extractor_spark.rules.segment import (
+        assemble_blocks,
+        forward_fill_sections,
+        split_lines,
+    )
+
+    lines = split_lines("Deposits\nrow a\nrow b\nWithdrawals\nrow c")
+    tagged = forward_fill_sections(
+        lines, {"Deposits": "dep", "Withdrawals": "wd"}
+    )
+    assert [(ln.text, tag) for ln, tag in tagged] == [
+        ("row a", "dep"), ("row b", "dep"), ("row c", "wd"),
+    ]
+    blocks = assemble_blocks(lines, is_start=lambda t: t.startswith("row"))
+    assert [[ln.text for ln in b] for b in blocks] == [
+        ["row a"], ["row b", "Withdrawals"], ["row c"],
+    ]
+
+
+def test_capitalone_quoted_comma_and_zero_debit():
+    from pdf_extractor_spark.rules.extractors import extract_csv_capitalone
+
+    text = (
+        "Capital One export\n"
+        "Transaction Date,Posted Date,Card No.,Description,Category,Debit,Credit\n"
+        '2024-01-05,2024-01-06,1234,"AMAZON.COM, INC",Shopping,12.34,\n'
+        "2024-01-07,2024-01-08,1234,REFUND GIVEN,Payment,0.00,25.00\n"
+    )
+    r = extract_csv_capitalone(text)
+    assert len(r.records) == 2  # quoted comma does NOT explode the row
+    amz, refund = r.records
+    assert amz.description == "AMAZON.COM, INC" and amz.amount == -12.34
+    # explicit 0.00 debit takes the credit branch (reference: Debit != 0)
+    assert refund.amount == 25.0 and refund.ttype == "credit"
+
+
+def test_chase_visa_continuation_stops_on_trailing_number():
+    from pdf_extractor_spark.rules.extractors import extract_chase_visa
+
+    text = (
+        "Chase Visa\n"
+        "Opening/Closing Date 12/15/23 - 01/14/24\n"
+        "12/05 AMAZON PURCHASE 45.00\n"
+        "MEMBERSHIP FEE 12.99\n"
+    )
+    r = extract_chase_visa(text)
+    # 'MEMBERSHIP FEE 12.99' ends in a number -> NOT a continuation
+    # (chase_visa_parser.py:71-79); description stays clean
+    assert len(r.records) == 1
+    assert r.records[0].description == "AMAZON PURCHASE"
+
+
+def test_html_entities_no_double_unescape():
+    from pdf_extractor_spark.rules.html import _unescape
+
+    assert _unescape("&amp;lt;b&amp;gt;") == "&lt;b&gt;"
+    assert _unescape("a &amp; b &lt;tag&gt;") == "a & b <tag>"
+
+
+def test_r13_multispace_fragments_stripped():
+    from pdf_extractor_spark.rules.textnorm import normalize_description
+
+    # reference patterns use \s+ separators (transaction_normalizer.py:390-399)
+    assert normalize_description("POS  DEBIT 4421 GROCERY") == "GROCERY"
+    assert normalize_description("buy at WALMART STORE 4521") == "buy at WALMART STORE 4521"
+    assert (
+        normalize_description("card XXXXXXXXXXXX5678 tail 99", strip_trailing=True)
+        == "card tail"
+    )
+
+
+def test_zero_record_turn_is_flagged():
+    from pdf_extractor_spark.rules.oracle import extract_turn
+
+    r = extract_turn("Chase Visa\nOpening/Closing Date 12/15/23 - 01/14/24\n")
+    assert r.family == "chase_visa" and r.n_records == 0
+    assert r.rule_hits.get("zero_records") == 1
