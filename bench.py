@@ -33,19 +33,25 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 SCALING_CONVS = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "100000"))
 
-# headline operator queries from the catalog (a scan, a partial-agg, a
-# broadcast join, a window, a near-dup join, and the ANN top-k)
-HEADLINE = [
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping",
-    "a5_dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_minhash_full_capped",
-    "w6_sessionize",
-    "text_quality_score",
-    "sim_bruteforce_topk",
-    "sim_ivf_topk",
-]
+# headline operator queries (a scan, a partial-agg, a broadcast join, a
+# window, a near-dup join, and the ANN top-k). Referenced as callables, not
+# registry keys: the gate registry merged several of these into verification
+# suites, but the bench measures the production single-scan implementations —
+# names kept identical to r01 so per-query numbers stay comparable.
+def _headline():
+    from pdf_extractor_spark.plans import catalog, catalog_ext
+
+    return [
+        ("tpch_q1_pricing_summary", catalog.q_tpch_q1_pricing_summary),
+        ("tpch_q3_shipping", catalog.q_tpch_q3_shipping),
+        ("a5_dedup_exact", catalog.q_a5_dedup_exact),
+        ("dedup_minhash_lsh", catalog_ext.q_dedup_minhash_lsh),
+        ("dedup_minhash_full_capped", catalog_ext.q_dedup_minhash_full_capped),
+        ("w6_sessionize", catalog.q_w6_sessionize),
+        ("text_quality_score", catalog.q_text_quality_score),
+        ("sim_bruteforce_topk", catalog.q_sim_bruteforce_topk),
+        ("sim_ivf_topk", catalog_ext.q_sim_ivf_topk),
+    ]
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -86,26 +92,28 @@ def run_extraction(spark, sf_dir: str, n_convs: int | None = None) -> tuple[floa
 
     transcripts = _bench_transcripts(spark, sf_dir, n_convs)
     extracted = extract_turns(transcripts)
+    # timed pass through the noop sink (same protocol as the other queries);
+    # extraction is 1:1 per turn, so n comes from the parquet input's
+    # metadata count — untimed and nearly free
     t0 = time.perf_counter()
-    n = extracted.count()
+    _force(extracted)
     sec = time.perf_counter() - t0
+    n = transcripts.count()
     return sec, n
 
 
 def main() -> None:
-    from pdf_extractor_spark.plans import catalog
     from pdf_extractor_spark.session import get_spark
 
     spark = get_spark("bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = catalog.queries()
 
     # warmup: JIT/codegen + parquet footer caches
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        df = qs[name](spark, SF_DIR)
+    for name, q in _headline():
+        df = q(spark, SF_DIR)
         t0 = time.perf_counter()
         _force(df)
         times[name] = round(time.perf_counter() - t0, 3)

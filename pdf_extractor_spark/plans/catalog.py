@@ -754,7 +754,7 @@ _ORACLES: dict[str, str] = {
     """,
     "tpch_q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS sum_qty,
+               CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
                SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_base_price,
                SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0
                  AS sum_disc_price,
@@ -910,12 +910,14 @@ _ORACLES: dict[str, str] = {
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from . import catalog_ext, catalog_ext2
+    """Driver-ordered registry (suites.py): SURVEY §2 + LLM-pipeline ops
+    first so they all land inside the driver's ~50-entry verify window."""
+    from . import suites
 
-    return {**_QUERIES, **catalog_ext.QUERIES_EXT, **catalog_ext2.QUERIES_EXT2}
+    return suites.registry()[0]
 
 
 def oracle_sql() -> dict[str, str]:
-    from . import catalog_ext, catalog_ext2
+    from . import suites
 
-    return {**_ORACLES, **catalog_ext.ORACLES_EXT, **catalog_ext2.ORACLES_EXT2}
+    return suites.registry()[1]

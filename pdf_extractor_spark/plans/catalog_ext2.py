@@ -647,7 +647,9 @@ def q_j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
-        "asof_signup_id",
+        # -1 sentinel for no-match: a nullable BIGINT would round-trip through
+        # pandas as float64 and value-hash differently than Spark's long
+        F.coalesce("asof_signup_id", F.lit(-1).cast("long")).alias("asof_signup_id"),
     )
 
 
@@ -660,7 +662,7 @@ _J6_ORACLE = """
       WHERE event_type = 'signup' GROUP BY user_id, ts)
     SELECT l.purchase_id, l.user_id,
            strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
-           r.signup_id AS asof_signup_id
+           COALESCE(r.signup_id, CAST(-1 AS BIGINT)) AS asof_signup_id
     FROM l ASOF LEFT JOIN r
       ON l.user_id = r.user_id AND l.ts >= r.ts
 """
@@ -725,10 +727,10 @@ def q_a6_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _A6_ORACLE = """
     SELECT user_id,
-           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-           SUM(CASE WHEN event_type = 'login' THEN 1 ELSE 0 END) AS n_login,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'login' THEN 1 ELSE 0 END) AS BIGINT) AS n_login,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
     FROM events WHERE user_id < 300 GROUP BY user_id
 """
 
@@ -841,10 +843,10 @@ def q_a8_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 _A8_ORACLE = """
     WITH wide AS (
       SELECT user_id,
-             SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-             SUM(CASE WHEN event_type = 'login' THEN 1 ELSE 0 END) AS n_login,
-             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+             CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+             CAST(SUM(CASE WHEN event_type = 'login' THEN 1 ELSE 0 END) AS BIGINT) AS n_login,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
       FROM events WHERE user_id < 300 GROUP BY user_id)
     SELECT user_id, 'n_signup' AS metric, n_signup AS n FROM wide
     UNION ALL SELECT user_id, 'n_login', n_login FROM wide
@@ -913,7 +915,7 @@ _CONV_ROLLUP_ORACLE = """
            CAST(1 AS BIGINT) AS n_roles,
            '2024-01-01 00:00:00' AS first_ts_s,
            '2024-01-01 00:00:00' AS last_ts_s,
-           SUM(length(text)) AS total_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
            CAST(0 AS BIGINT) AS turn_gap_max_s
     FROM turns GROUP BY conv_id
 """

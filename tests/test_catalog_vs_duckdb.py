@@ -8,6 +8,8 @@ from __future__ import annotations
 import math
 
 import duckdb
+import numpy as np
+import pandas as pd
 import pytest
 
 import __spark_entry__ as entrymod
@@ -32,11 +34,20 @@ def ddb():
 def _canon(val) -> str:
     if val is None:
         return "<null>"
-    if isinstance(val, bool):
+    if isinstance(val, (bool, np.bool_)):
         return "true" if val else "false"
+    if isinstance(val, np.integer):
+        return str(int(val))
+    if isinstance(val, np.floating):
+        val = float(val)
     if isinstance(val, float):
         if math.isnan(val):
             return "<nan>"
+        # Integral floats keep their ".0" so an int-vs-float dtype drift
+        # between Spark and DuckDB fails here the way it fails under the
+        # driver's exact-value hasher (r01 tpch_q1 sum_qty lesson).
+        if val == int(val) and abs(val) < 1e15:
+            return f"{val:.1f}"
         # canonical float text: 12 sig digits kills last-bit noise post-round
         return f"{val:.12g}"
     return str(val)
@@ -61,9 +72,28 @@ def test_query_matches_oracle(spark, ddb, name):
     sdf = q(spark, SF_DIR)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
-    d = ddb.execute(oracles[name])
-    d_cols = [c[0] for c in d.description]
-    d_rows = d.fetchall()
+    # The driver canonicalizes by sorting a pandas frame: list/dict-valued
+    # columns crash it (r01 mm_media_features lesson). Gate outputs must be
+    # scalar-only.
+    for r in s_rows[:50]:
+        for v in r:
+            assert not isinstance(v, (list, dict, set)), (
+                f"{name}: unsortable {type(v).__name__} value in gate output"
+            )
+    # fetchdf (not fetchall): the driver compares through pandas, where
+    # DuckDB HUGEINT/DECIMAL aggregates coerce to float64 — fetchall would
+    # hand us Python ints and hide exactly that dtype drift.
+    ddf = ddb.execute(oracles[name]).fetchdf()
+    d_cols = list(ddf.columns)
+    d_rows = [
+        tuple(
+            None
+            if (v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)))
+            else v
+            for v in row
+        )
+        for row in ddf.itertuples(index=False, name=None)
+    ]
     assert sorted(s_cols) == sorted(d_cols), f"{name}: column mismatch"
     assert len(s_rows) == len(d_rows), f"{name}: rowcount {len(s_rows)} vs {len(d_rows)}"
     sset, dset = _rowset(s_cols, s_rows), _rowset(d_cols, d_rows)

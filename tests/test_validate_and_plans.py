@@ -68,6 +68,13 @@ def test_extraction_plan_has_no_shuffle(spark, extracted):
 
 def test_minhash_join_keys_are_small(spark):
     # the LSH band join must join on (band_id, key) only — never on token
-    # arrays or text; candidate side carries just ids + 32-char keys
-    p = _plan(spark, "dedup_minhash_lsh")
+    # arrays or text; candidate side carries just ids + 32-char keys.
+    # (The production query, directly; the gate registry wraps it in the
+    # tagged dedup_minhash_suite.)
+    from pdf_extractor_spark.plans import catalog_ext
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        catalog_ext.q_dedup_minhash_lsh(spark, SF).explain("formatted")
+    p = buf.getvalue()
     assert "band_id" in p and "key" in p
