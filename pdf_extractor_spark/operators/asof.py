@@ -50,9 +50,14 @@ def asof_join(
         *[F.col(c).alias(f"_rv_{c}") for c in right_value_cols],
     )
     u = l_tag.unionByName(r_tag)
-    w = Window.partitionBy(key).orderBy(ts, "_side").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    # tertiary sort on the right payload columns: if the right side has
+    # several rows at the same (key, ts), the greatest payload tuple wins —
+    # a total order, so the forward-filled match is deterministic across
+    # runs/partitionings (pandas merge_asof's "last in input order" has no
+    # distributed equivalent; this is the documented contract instead)
+    w = Window.partitionBy(key).orderBy(
+        ts, "_side", *[F.col(f"_rv_{c}") for c in right_value_cols]
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     filled = u.select(
         "*",
         *[

@@ -112,15 +112,19 @@ def run_incremental(
     """Process only pending input files; write extracted output (dynamic
     partition overwrite by src_key) then commit lineage rows. Returns summary
     counts. Safe to call repeatedly / after a crash at any point."""
-    pend = [r.src_key for r in pending_files(spark, input_dir, lineage_dir).collect()]
-    if not pend:
+    # the pending set stays a DataFrame end-to-end: at ~10^6 input files a
+    # collect()+isin would be a driver-side list and a million-element In
+    # expression in the plan; a broadcast left-semi join is the scale shape
+    pend_df = pending_files(spark, input_dir, lineage_dir)
+    n_files = pend_df.count()  # tiny relation (one row per file)
+    if n_files == 0:
         return {"files": 0, "rows": 0}
 
     transcripts = (
         spark.read.schema(TRANSCRIPTS)
         .parquet(input_dir)
         .withColumn("src_key", src_key_col())
-        .where(F.col("src_key").isin(pend))
+        .join(F.broadcast(pend_df), "src_key", "left_semi")
     )
     extracted = transcripts.select(
         "src_key", "conv_id", "turn_idx", "text"
@@ -134,7 +138,7 @@ def run_incremental(
 
     # metrics from the WRITTEN output (what was committed, not what was
     # planned): per-file row counts, valid counts, per-rule hit totals
-    out = spark.read.parquet(output_dir).where(F.col("src_key").isin(pend))
+    out = spark.read.parquet(output_dir).join(F.broadcast(pend_df), "src_key", "left_semi")
     hits = (
         out.select("src_key", F.explode_outer("rule_hits").alias("rule", "n"))
         .where(F.col("rule").isNotNull())
@@ -168,8 +172,8 @@ def run_incremental(
         )
     )
     lineage.write.mode("append").parquet(lineage_dir)
-    n_rows = sum(r.row_count for r in stats.select("row_count").collect())
-    return {"files": len(pend), "rows": n_rows}
+    n_rows = stats.agg(F.sum("row_count")).collect()[0][0] or 0
+    return {"files": n_files, "rows": int(n_rows)}
 
 
 def run_key(input_dir: str, snapshot_id: str) -> str:

@@ -26,15 +26,58 @@ def with_sequential_id(df: DataFrame, order_cols: list[str] | None = None) -> Da
     """R21/W5: sequential id after consolidation (transaction_normalizer.py:309).
 
     The reference uses concat order; we define an EXPLICIT total order.
-    NOTE: a single unpartitioned window is a scale bottleneck — it exists for
-    byte-parity with the reference's sequential ids. At 100TB use
-    ``zipWithIndex``-style two-pass (per-partition count + offset) instead;
-    kept here because ids must be dense and deterministic, and the consumer
-    of this operator is small consolidated outputs, not raw turns.
+    NOTE: a single unpartitioned window is a scale bottleneck — it exists as
+    the oracle-parity formulation for SMALL consolidated outputs. The 100TB
+    path is ``with_sequential_id_distributed`` below (identical ids, no
+    single reducer); tests pin their equality.
     """
     order_cols = order_cols or TURN_ORDER
     w = Window.orderBy(*[F.col(c) for c in order_cols])
     return df.withColumn("seq_id", F.row_number().over(w))
+
+
+def with_sequential_id_distributed(
+    df: DataFrame, order_cols: list[str] | None = None, num_partitions: int | None = None
+) -> DataFrame:
+    """Dense deterministic 1-based seq_id WITHOUT a single-reducer window
+    (the zipWithIndex idea expressed in DataFrame ops):
+
+      1. range-partition + sort by ``order_cols`` — partitions hold disjoint,
+         ordered key ranges;
+      2. count rows per partition (tiny agg) and turn counts into per-
+         partition offsets with a cumulative window over that TINY relation;
+      3. row_number() within each partition (parallel — partitionBy the
+         partition id) + broadcast-joined offset.
+
+    Ids equal the unpartitioned-window formulation whenever ``order_cols``
+    is a total order (the same precondition the window variant needs for
+    determinism: ties straddling a range boundary would otherwise be
+    numbered arbitrarily).
+    """
+    order_cols = order_cols or TURN_ORDER
+    cols = [F.col(c) for c in order_cols]
+    if num_partitions:
+        ranged = df.repartitionByRange(num_partitions, *cols)
+    else:
+        ranged = df.repartitionByRange(*cols)
+    part = ranged.sortWithinPartitions(*cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = part.groupBy("_pid").count()
+    woff = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = counts.select(
+        "_pid", (F.sum("count").over(woff) - F.col("count")).alias("_offset")
+    )
+    wlocal = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        part.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "seq_id", (F.row_number().over(wlocal) + F.col("_offset")).cast("int")
+        )
+        .drop("_pid", "_offset")
+    )
 
 
 def salted(df: DataFrame, n_partitions: int, salt_buckets: int | None = None) -> DataFrame:

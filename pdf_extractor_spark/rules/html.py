@@ -59,8 +59,16 @@ class HtmlLine(NamedTuple):
 
 
 def looks_like_html(text: str) -> bool:
+    """Markers must appear near the START of the payload: a statement turn
+    whose free text merely mentions '<body' deep inside (e.g. a description
+    quoting markup) must not be rerouted to the html family and lose its
+    transaction records."""
     low = text.lstrip().lower()
-    return low.startswith("<!doctype html") or low.startswith("<html") or "<body" in low
+    return (
+        low.startswith("<!doctype html")
+        or low.startswith("<html")
+        or "<body" in low[:256]
+    )
 
 
 def _unescape(s: str) -> str:
