@@ -1,0 +1,416 @@
+"""Round-2 parity gate entries: the new reference families (Apple Card
+inverted sign, BofA Visa append_year, Amazon invoice fields), the P1
+projection-map engine, and the R18 address-block composition — each as a
+(Spark impl, DuckDB oracle) render->recover pair over the shared testdata
+tables (same pattern as catalog_ext2). The byte-level family parity lives in
+the goldens (tests/test_new_families.py + test_golden_extraction.py); these
+entries put the rule SEMANTICS under the driver's cross-engine value check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col) -> F.Column:
+    return F.floor(col * 100 + F.lit(0.5)).cast("long")
+
+
+def _money(cents) -> F.Column:
+    return F.concat(
+        (cents / 100).cast("long").cast("string"),
+        F.lit("."),
+        F.lpad((cents % 100).cast("string"), 2, "0"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Apple Card inverted sign + BofA Visa append_year (one melted suite)
+# ---------------------------------------------------------------------------
+
+_BOFA_PAT = r"(\d{2}/\d{2})\s+(\d{2}/\d{2})?\s+(.*?)(\d{4})?\s+(\d{4})?\s+([\d,]+\.\d{2})?$"
+
+
+def q_family_statement_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apple Card sign inversion (apple_card_csv_parser.py:66-79: 'payment'
+    in Type -> credit; is_charge_positive negates unconditionally) + BofA
+    Visa row recovery with append_year (bofa_visa_parser.py:27-53, 100-103).
+    Melted to (variant, k, s1, s2, v)."""
+    ev = _t(spark, sf_dir, "events")
+    type_str = F.when(F.col("event_type") == "signup", F.lit("Payment")).otherwise(
+        F.initcap("event_type")
+    )
+    cents = F.floor(F.coalesce(F.abs(F.col("value")), F.lit(0.0)) * 100 + F.lit(0.5)).cast("long")
+    is_pay = F.lower(type_str).contains("payment")
+    infile = F.when(is_pay, -(cents / 100.0)).otherwise(cents / 100.0)
+    apple = ev.select(
+        F.lit("apple_card").alias("variant"),
+        F.col("event_id").cast("long").alias("k"),
+        F.when(is_pay, F.lit("credit")).otherwise(F.lit("debit")).alias("s1"),
+        type_str.alias("s2"),
+        (-infile).alias("v"),  # unconditional negation (is_charge_positive)
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    line = F.concat(
+        F.date_format(d, "MM/dd"), F.lit(" "),
+        F.date_format(F.date_add(d, 3), "MM/dd"), F.lit(" "),
+        F.upper("o_orderpriority"), F.lit(" 1234 5678 "),
+        _money(_cents(F.col("o_totalprice"))),
+    )
+    stmt = F.date_add(d, 20)
+    stmt_y, stmt_m = F.year(stmt), F.month(stmt)
+    mmdd = F.regexp_extract(line, _BOFA_PAT, 1)
+    mm = F.substring(mmdd, 1, 2).cast("int")
+    dd = F.substring(mmdd, 4, 2).cast("int")
+    yr = F.when((stmt_m == 1) & (mm == 12), stmt_y - 1).otherwise(stmt_y)
+    bofa = orders.select(
+        F.lit("bofa_visa").alias("variant"),
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.date_format(F.make_date(yr, mm, dd), "yyyy-MM-dd").alias("s1"),
+        F.trim(F.regexp_extract(line, _BOFA_PAT, 3)).alias("s2"),
+        F.regexp_replace(F.regexp_extract(line, _BOFA_PAT, 6), ",", "")
+        .cast("double")
+        .alias("v"),
+    )
+    return apple.unionByName(bofa)
+
+
+_FAMILY_SUITE_ORACLE = rf"""
+    WITH apple AS (
+      SELECT 'apple_card' AS variant, CAST(event_id AS BIGINT) AS k,
+             CASE WHEN contains(lower(ts2), 'payment') THEN 'credit' ELSE 'debit' END AS s1,
+             ts2 AS s2,
+             -(CASE WHEN contains(lower(ts2), 'payment') THEN -(cents / 100.0)
+                    ELSE cents / 100.0 END) AS v
+      FROM (
+        SELECT event_id,
+               CASE WHEN event_type = 'signup' THEN 'Payment'
+                    ELSE upper(event_type[1]) || event_type[2:] END AS ts2,
+               CAST(FLOOR(COALESCE(abs(value), 0.0) * 100 + 0.5) AS BIGINT) AS cents
+        FROM events)),
+    b0 AS (
+      SELECT o_orderkey,
+             strftime(o_orderdate, '%m/%d') || ' '
+               || strftime(CAST(o_orderdate AS DATE) + 3, '%m/%d') || ' '
+               || upper(o_orderpriority) || ' 1234 5678 '
+               || (CAST(cents // 100 AS VARCHAR) || '.'
+                   || lpad(CAST(cents % 100 AS VARCHAR), 2, '0')) AS line,
+             year(CAST(o_orderdate AS DATE) + 20) AS sy,
+             month(CAST(o_orderdate AS DATE) + 20) AS sm
+      FROM (SELECT o_orderkey, o_orderdate, o_orderpriority,
+                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders)),
+    b1 AS (
+      SELECT o_orderkey, sy, sm,
+             regexp_extract(line, '{_BOFA_PAT}', 1) AS mmdd,
+             trim(regexp_extract(line, '{_BOFA_PAT}', 3)) AS descr,
+             replace(regexp_extract(line, '{_BOFA_PAT}', 6), ',', '') AS amt
+      FROM b0),
+    bofa AS (
+      SELECT 'bofa_visa' AS variant, CAST(o_orderkey AS BIGINT) AS k,
+             strftime(make_date(
+               CASE WHEN sm = 1 AND CAST(mmdd[1:2] AS INT) = 12 THEN sy - 1 ELSE sy END,
+               CAST(mmdd[1:2] AS INT), CAST(mmdd[4:5] AS INT)), '%Y-%m-%d') AS s1,
+             descr AS s2,
+             CAST(amt AS DOUBLE) AS v
+      FROM b1)
+    SELECT variant, k, s1, s2, v FROM apple
+    UNION ALL
+    SELECT variant, k, s1, s2, v FROM bofa
+"""
+
+
+# ---------------------------------------------------------------------------
+# Amazon invoice variant fields (R16 completion)
+# ---------------------------------------------------------------------------
+
+def q_amazon_invoice_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invoice field recovery (amazon_invoice_pdf_parser.py:53-156): render a
+    single-item invoice per order, recover order number / paid-by / placed-by
+    / total / placed date / qty / price via the reference regexes, and the
+    normalized item amount -(price*qty) as a debit."""
+    orders = _t(spark, sf_dir, "orders")
+    total = _money(_cents(F.col("o_totalprice")))
+    price = _money(_cents(F.col("o_totalprice") / 7))
+    qty = (F.col("o_orderkey") % 3 + 1).cast("long")
+    txt = F.concat(
+        F.lit("Final Details for Order\nOrder Placed: "),
+        F.date_format("o_orderdate", "MMMM dd, yyyy"),
+        F.lit("\nAmazon.com order number: 112-"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("-55\nOrder Total: $"), total,
+        F.lit("\nPaid By: CUSTOMER "), F.col("o_custkey").cast("string"),
+        F.lit("\nPlaced By: AGENT "), F.col("o_custkey").cast("string"),
+        F.lit("\n"), qty.cast("string"),
+        F.lit(" of: ITEM "), F.upper("o_orderpriority"),
+        F.lit("\nSold by: WidgetCo\nCondition: New\n$"), price,
+    )
+    q = F.regexp_extract(txt, r"(\d+) of:", 1).cast("long")
+    p = F.regexp_extract(txt, r"Condition: New\n\$([\d.]+)", 1).cast("double")
+    amount = -(F.floor(p * q * 100 + F.lit(0.5)) / 100.0)
+    return orders.select(
+        "o_orderkey",
+        F.regexp_extract(txt, r"Amazon.com order number: ([\d-]+)", 1).alias("order_number"),
+        F.regexp_extract(txt, r"Paid By: (.+)", 1).alias("paid_by"),
+        F.regexp_extract(txt, r"Placed By: (.+)", 1).alias("placed_by"),
+        F.regexp_extract(txt, r"Order Total: \$([\d.,]+)", 1).cast("double").alias("order_total"),
+        F.date_format(
+            F.try_to_timestamp(
+                F.regexp_extract(txt, r"Order Placed: ([A-Za-z]+ \d{2}, \d{4})", 1),
+                F.lit("MMMM dd, yyyy"),
+            ),
+            "yyyy-MM-dd",
+        ).alias("order_placed"),
+        q.alias("qty"),
+        p.alias("price"),
+        amount.alias("amount"),
+    )
+
+
+_AMAZON_INVOICE_ORACLE = r"""
+    WITH r AS (
+      SELECT o_orderkey,
+             'Final Details for Order' || chr(10) || 'Order Placed: '
+               || strftime(o_orderdate, '%B %d, %Y')
+               || chr(10) || 'Amazon.com order number: 112-'
+               || CAST(o_orderkey AS VARCHAR) || '-55'
+               || chr(10) || 'Order Total: $'
+               || (CAST(tc // 100 AS VARCHAR) || '.' || lpad(CAST(tc % 100 AS VARCHAR), 2, '0'))
+               || chr(10) || 'Paid By: CUSTOMER ' || CAST(o_custkey AS VARCHAR)
+               || chr(10) || 'Placed By: AGENT ' || CAST(o_custkey AS VARCHAR)
+               || chr(10) || CAST(o_orderkey % 3 + 1 AS VARCHAR)
+               || ' of: ITEM ' || upper(o_orderpriority)
+               || chr(10) || 'Sold by: WidgetCo' || chr(10) || 'Condition: New'
+               || chr(10) || '$'
+               || (CAST(pc // 100 AS VARCHAR) || '.' || lpad(CAST(pc % 100 AS VARCHAR), 2, '0'))
+               AS txt
+      FROM (SELECT o_orderkey, o_custkey, o_orderdate, o_orderpriority,
+                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS tc,
+                   CAST(FLOOR(o_totalprice / 7 * 100 + 0.5) AS BIGINT) AS pc
+            FROM orders)),
+    x AS (
+      SELECT o_orderkey,
+             regexp_extract(txt, 'Amazon.com order number: ([\d-]+)', 1) AS order_number,
+             regexp_extract(txt, 'Paid By: (.+)', 1) AS paid_by,
+             regexp_extract(txt, 'Placed By: (.+)', 1) AS placed_by,
+             CAST(regexp_extract(txt, 'Order Total: \$([\d.,]+)', 1) AS DOUBLE) AS order_total,
+             strftime(try_strptime(
+               regexp_extract(txt, 'Order Placed: ([A-Za-z]+ \d{2}, \d{4})', 1),
+               '%B %d, %Y'), '%Y-%m-%d') AS order_placed,
+             CAST(regexp_extract(txt, '(\d+) of:', 1) AS BIGINT) AS qty,
+             CAST(regexp_extract(txt, 'Condition: New' || chr(10) || '\$([\d.]+)', 1)
+                  AS DOUBLE) AS price
+      FROM r)
+    SELECT o_orderkey, order_number, paid_by, placed_by, order_total,
+           order_placed, qty, price,
+           -(FLOOR(price * qty * 100 + 0.5) / 100.0) AS amount
+    FROM x
+"""
+
+
+# ---------------------------------------------------------------------------
+# P1 projection maps as data
+# ---------------------------------------------------------------------------
+
+def q_p1_projection_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two families driven off the PROJECTION_MAPS table by the one generic
+    engine (plans/projection.py): first_republic_bank (with the declarative
+    INTEREST CREDIT conditional, config.py:368-373) and capitalone_csv
+    (renames + literals). Union on the core schema."""
+    from .projection import apply_projection_map
+
+    orders = _t(spark, sf_dir, "orders")
+    amount = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)) / 100.0
+    is_ic = F.col("o_orderkey") % 5 == 0
+    fr_frame = orders.select(
+        F.when(is_ic, F.lit("INTEREST CREDIT"))
+        .otherwise(F.concat(F.lit("PAYMENT "), F.col("o_orderpriority")))
+        .alias("description"),
+        F.when(is_ic, F.lit(None).cast("string"))
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .alias("transaction_date"),
+        amount.alias("amount"),
+        F.lit("credit").alias("transaction_type"),
+        F.date_format(F.trunc("o_orderdate", "month"), "yyyy-MM-dd").alias(
+            "statement_start_date"
+        ),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias(
+            "statement_end_date"
+        ),
+        F.col("o_orderkey").cast("string").alias("account_number"),
+        F.concat(F.lit("fr_"), F.col("o_orderkey").cast("string")).alias("file_path"),
+    )
+    fr = apply_projection_map(fr_frame, "first_republic_bank").select(
+        F.lit("first_republic_bank").alias("variant"),
+        "transaction_date", "description", "amount", "transaction_type",
+        "account_number", "file_path",
+    )
+
+    cap_frame = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("transaction_date"),
+        F.col("o_orderpriority").alias("description"),
+        amount.alias("amount"),
+        F.concat(F.lit("cap_"), F.col("o_orderkey").cast("string")).alias("source_file"),
+        F.lit("debit").alias("transaction_type"),
+        F.col("o_orderkey").cast("string").alias("card_no"),
+    )
+    cap = apply_projection_map(cap_frame, "capitalone_csv").select(
+        F.lit("capitalone_csv").alias("variant"),
+        "transaction_date", "description", "amount", "transaction_type",
+        "account_number", "file_path",
+    )
+    return fr.unionByName(cap)
+
+
+_P1_ORACLE = """
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority,
+             strftime(o_orderdate, '%Y-%m-%d') AS od,
+             FLOOR(o_totalprice * 100 + 0.5) / 100.0 AS amount,
+             strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS stmt_end
+      FROM orders),
+    fr AS (
+      SELECT 'first_republic_bank' AS variant,
+             CASE WHEN o_orderkey % 5 = 0 THEN stmt_end ELSE od END AS transaction_date,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'INTEREST CREDIT'
+                  ELSE 'PAYMENT ' || o_orderpriority END AS description,
+             amount, 'credit' AS transaction_type,
+             CAST(o_orderkey AS VARCHAR) AS account_number,
+             'fr_' || CAST(o_orderkey AS VARCHAR) AS file_path
+      FROM base),
+    cap AS (
+      SELECT 'capitalone_csv' AS variant, od AS transaction_date,
+             o_orderpriority AS description, amount,
+             'debit' AS transaction_type,
+             CAST(o_orderkey AS VARCHAR) AS account_number,
+             'cap_' || CAST(o_orderkey AS VARCHAR) AS file_path
+      FROM base)
+    SELECT * FROM fr UNION ALL SELECT * FROM cap
+"""
+
+
+# ---------------------------------------------------------------------------
+# R18 address-block composition
+# ---------------------------------------------------------------------------
+
+def q_r18_address_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R18 composed (chase_checking.py:320-364): per-customer rendered lines,
+    street line paired with its lead() city/zip line, ALL-CAPS runs scanned
+    from the preceding lines (window + self-join — the W4 lookahead + slice
+    composition SURVEY maps it to). Customers with custkey%7==0 get no zip
+    line (negative path)."""
+    cust = _t(spark, sf_dir, "customer")
+    zipline = F.when(F.col("c_custkey") % 7 == 0, F.lit("no zip here")).otherwise(
+        F.concat(
+            F.lit("SAN FRANCISCO CA "),
+            F.lpad((F.col("c_custkey") % 89999 + 10000).cast("string"), 5, "0"),
+        )
+    )
+    lines = F.array(
+        F.concat(F.lit("ACME "), F.col("c_mktsegment")),
+        F.lit("Service note"),
+        F.concat(F.col("c_custkey").cast("string"), F.lit(" MARKET ST")),
+        zipline,
+        F.lit("thank you"),
+    )
+    e = cust.select("c_custkey", F.posexplode(lines).alias("line_no", "line"))
+    w = Window.partitionBy("c_custkey").orderBy("line_no")
+    flagged = e.select(
+        "c_custkey", "line_no", "line", F.lead("line", 1).over(w).alias("nxt")
+    )
+    street = (
+        flagged.where(
+            F.col("line").rlike(r"^\d+ .+")
+            & F.coalesce(F.col("nxt"), F.lit("")).rlike(r"\d{5}(-\d{4})?")
+        )
+        .groupBy("c_custkey")
+        .agg(
+            F.min("line_no").alias("street_no"),
+            F.min_by(F.concat_ws(" ", "line", "nxt"), "line_no").alias("address"),
+        )
+    )
+    run = F.regexp_extract(F.col("line"), r"[A-Z][A-Z .,'-]{2,}", 0)
+    caps = flagged.join(street, "c_custkey").where(
+        (F.col("line_no") >= F.col("street_no") - 10)
+        & (F.col("line_no") < F.col("street_no"))
+        & (F.trim(run) != "")
+        & (F.size(F.split(F.trim(run), " ")) >= 2)
+    )
+    names = caps.groupBy("c_custkey").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", F.trim(run).alias("r")))),
+                lambda x: x["r"],
+            ),
+            " ",
+        ).alias("name_runs")
+    )
+    return (
+        cust.select("c_custkey")
+        .join(street, "c_custkey", "left")
+        .join(names, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.coalesce("address", F.lit("<none>")).alias("address"),
+            F.coalesce("name_runs", F.lit("<none>")).alias("name_runs"),
+        )
+    )
+
+
+_R18_BLOCK_ORACLE = r"""
+    WITH lines AS (
+      SELECT c_custkey, CAST(u.s.i - 1 AS BIGINT) AS line_no, u.s.t AS line
+      FROM (
+        SELECT c_custkey,
+               unnest(list_transform([
+                 'ACME ' || c_mktsegment,
+                 'Service note',
+                 CAST(c_custkey AS VARCHAR) || ' MARKET ST',
+                 CASE WHEN c_custkey % 7 = 0 THEN 'no zip here'
+                      ELSE 'SAN FRANCISCO CA '
+                           || lpad(CAST(c_custkey % 89999 + 10000 AS VARCHAR), 5, '0') END,
+                 'thank you'
+               ], (t, i) -> {'t': t, 'i': i})) AS s
+        FROM customer) u),
+    flagged AS (
+      SELECT c_custkey, line_no, line,
+             lead(line, 1) OVER (PARTITION BY c_custkey ORDER BY line_no) AS nxt
+      FROM lines),
+    street AS (
+      SELECT c_custkey, MIN(line_no) AS street_no,
+             min_by(line || ' ' || nxt, line_no) AS address
+      FROM flagged
+      WHERE regexp_matches(line, '^\d+ .+')
+        AND regexp_matches(COALESCE(nxt, ''), '\d{5}(-\d{4})?')
+      GROUP BY c_custkey),
+    caps AS (
+      SELECT f.c_custkey,
+             string_agg(trim(regexp_extract(f.line, '[A-Z][A-Z .,''-]{2,}', 0)), ' '
+                        ORDER BY f.line_no) AS name_runs
+      FROM flagged f JOIN street s ON f.c_custkey = s.c_custkey
+      WHERE f.line_no >= s.street_no - 10 AND f.line_no < s.street_no
+        AND trim(regexp_extract(f.line, '[A-Z][A-Z .,''-]{2,}', 0)) <> ''
+        AND len(string_split(trim(regexp_extract(f.line, '[A-Z][A-Z .,''-]{2,}', 0)), ' ')) >= 2
+      GROUP BY f.c_custkey)
+    SELECT c.c_custkey,
+           COALESCE(s.address, '<none>') AS address,
+           COALESCE(p.name_runs, '<none>') AS name_runs
+    FROM customer c
+    LEFT JOIN street s ON c.c_custkey = s.c_custkey
+    LEFT JOIN caps p ON c.c_custkey = p.c_custkey
+"""
+
+
+ENTRIES: list[tuple] = [
+    ("family_statement_suite", q_family_statement_suite, _FAMILY_SUITE_ORACLE),
+    ("amazon_invoice_fields", q_amazon_invoice_fields, _AMAZON_INVOICE_ORACLE),
+    ("p1_projection_map", q_p1_projection_map, _P1_ORACLE),
+    ("r18_address_block", q_r18_address_block, _R18_BLOCK_ORACLE),
+]

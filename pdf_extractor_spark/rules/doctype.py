@@ -23,11 +23,16 @@ DETECTION_ORDER: tuple[str, ...] = (
     "wf_mastercard",
     "wf_visa",
     "bofa_bank",
+    "bofa_visa",
     "first_republic",
     "chase_checking",
     "chase_visa",
     "wf_bank_layout",
+    # invoice variant BEFORE the simple order family: invoice text also
+    # contains 'Order Placed:' (registration-order semantics, registry.py)
+    "amazon_invoice",
     "amazon_order",
+    "csv_apple_card",
     "csv_capitalone",
     "csv_wf_checking",
     "noisy_desc",
@@ -54,6 +59,8 @@ def detect_family(text: str) -> str:
         return "wf_visa"
     if "deposits and other additions" in low or "withdrawals and other subtractions" in low:
         return "bofa_bank"
+    if "purchases and adjustments" in low:
+        return "bofa_visa"
     if "first republic" in low:
         return "first_republic"
     if "checking summary" in low or "*start*" in low:
@@ -62,8 +69,12 @@ def detect_family(text: str) -> str:
         return "chase_visa"
     if "wells fargo bank" in low:
         return "wf_bank_layout"
+    if "final details for order" in low and "amazon.com order number" in low:
+        return "amazon_invoice"  # can_parse, amazon_invoice_pdf_parser.py:33-42
     if "order placed:" in low:
         return "amazon_order"
+    if "transaction date" in low and "clearing date" in low and "amount (usd)" in low:
+        return "csv_apple_card"  # header set, apple_card_csv_parser.py:122-135
     if _CSV_CAPONE_HEADER.lower() in low:
         return "csv_capitalone"
     if _WF_CHECKING_ROW.search(text):

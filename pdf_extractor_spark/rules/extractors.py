@@ -23,6 +23,8 @@ from .segment import (
     Line,
     capture_between,
     classify_by_space_geometry,
+    find_coupon_block,
+    find_name_address,
     split_lines,
 )
 
@@ -132,6 +134,13 @@ def extract_chase_checking(text: str) -> ExtractResult:
         if iso:
             stmt_year, stmt_month = int(iso[:4]), int(iso[5:7])
             _hit(hits, "r9_statement_date")
+    # R18 composed heuristic (chase_checking.py:320-364): street+zip pair
+    # with the ALL-CAPS name scan of the 10 lines above
+    name, address = find_name_address(text)
+    if address:
+        _hit(hits, "r18_address_found")
+    if name:
+        _hit(hits, "r18_name_runs")
     records: list[Record] = []
     for ln in split_lines(text):
         if is_section_marker(ln.text):
@@ -312,6 +321,12 @@ def extract_wf_visa(text: str) -> ExtractResult:
                     )
                 )
                 _hit(hits, "r2_payment_row")
+    # R18 coupon-block variant (wellsfargo_visa_parser.py:511-534)
+    c_name, c_addr, c_acct = find_coupon_block(text)
+    if c_addr:
+        _hit(hits, "r18_coupon_block")
+    if c_acct:
+        _hit(hits, "r12_account_number")
     pur_text, pur_off = capture_between(text, "Purchases", "TOTAL PURCHASES FOR THIS PERIOD")
     if pur_off >= 0:
         _hit(hits, "t2_section_slice")
@@ -521,6 +536,212 @@ def extract_amazon_order(text: str) -> ExtractResult:
     return ExtractResult(records, hits, None)
 
 
+# --- amazon invoice variant (amazon_invoice_pdf_parser.py:53-156) -----------
+
+_INV_PAID_BY = re.compile(r"Paid By: (.+)")
+_INV_PLACED_BY = re.compile(r"Placed By: (.+)")
+_INV_ORDER_NO = re.compile(r"Amazon.com order number: ([\d-]+)")
+_INV_TOTAL = re.compile(r"Order Total: \$([\d\.,]+)")
+_INV_PLACED = re.compile(r"Order Placed: ([A-Za-z]+ \d{1,2}, \d{4})")
+_INV_SHIPPED = re.compile(r"Shipped on ([A-Za-z]+ \d{1,2}, \d{4})")
+_INV_SHIP_ADDR = re.compile(r"Shipping Address:\n([\s\S]+?)\nShipping Speed:")
+_INV_PAY_BLOCK = re.compile(r"Payment information\n([\s\S]+?)To view the status")
+_INV_PAY_LINE = re.compile(
+    r"([A-Za-z ]+) ending in (\d+): ([A-Za-z]+ \d{1,2}, \d{4}): \$([\d\.,]+)"
+)
+_INV_SHIP_SPLIT = re.compile(r"(?=Shipped on [A-Za-z]+ \d{1,2}, \d{4})")
+_INV_ITEMS = re.compile(
+    r"Items Ordered\s*Price\n([\s\S]+?)(?=Shipping Address:|Shipped on|Payment information|$)"
+)
+_INV_ITEM_SPLIT = re.compile(r"(?=\d+ of:)")
+_INV_QTY = re.compile(r"(\d+) of:")
+_INV_PRICES = re.compile(r"\$([\d\.,]+)")
+_INV_DESC_TAIL = re.compile(
+    r"\n?(Sold by:.*|Supplied by:.*|Condition:.*)$", re.MULTILINE | re.DOTALL
+)
+
+
+def parse_invoice_fields(text: str) -> dict:
+    """R16 invoice-variant field extraction (amazon_invoice_pdf_parser.py:
+    53-106 parse_invoice_text): paid_by / placed_by / order_number /
+    order_total / order_placed / shipped_date / shipping_address / payment
+    block — the exact regexes, ISO dates via the '%B %d, %Y' parse (:19-31)."""
+    out: dict = {}
+    if m := _INV_PAID_BY.search(text):
+        out["paid_by"] = m.group(1).strip()
+    if m := _INV_PLACED_BY.search(text):
+        out["placed_by"] = m.group(1).strip()
+    if m := _INV_ORDER_NO.search(text):
+        out["order_number"] = m.group(1).strip()
+    if m := _INV_TOTAL.search(text):
+        out["order_total"] = clean_amount(m.group(1))
+    if m := _INV_PLACED.search(text):
+        out["order_placed"] = D.parse_date(m.group(1).strip())
+    if m := _INV_SHIPPED.search(text):
+        out["shipped_date"] = D.parse_date(m.group(1).strip())
+    if m := _INV_SHIP_ADDR.search(text):
+        out["shipping_address"] = m.group(1).strip()
+    if m := _INV_PAY_BLOCK.search(text):
+        if m2 := _INV_PAY_LINE.search(m.group(1)):
+            out["payment_method"] = m2.group(1).strip() + " " + m2.group(2)
+            out["payment_date"] = D.parse_date(m2.group(3).strip())
+            out["payment_amount"] = clean_amount(m2.group(4))
+    return out
+
+
+def _invoice_items(items_block: str) -> list[dict]:
+    """Item sections: '(?=\\d+ of:)' split, LAST price anchors the amount,
+    description = text before it minus trailing Sold by/Supplied by/Condition
+    lines (amazon_invoice_pdf_parser.py:112-156)."""
+    items: list[dict] = []
+    for section in _INV_ITEM_SPLIT.split(items_block):
+        if not section.strip():
+            continue
+        qm = _INV_QTY.match(section)
+        if not qm:
+            continue
+        qty = int(qm.group(1))
+        item_text = section[qm.end():].strip()
+        prices = _INV_PRICES.findall(item_text)
+        if not prices:
+            continue
+        price = float(prices[-1].replace(",", ""))
+        desc_end = item_text.rfind(f"${prices[-1]}")
+        desc = _INV_DESC_TAIL.sub("", item_text[:desc_end].strip()).strip()
+        items.append({"quantity": qty, "description": desc, "price": price})
+    return items
+
+
+def extract_amazon_invoice(text: str) -> ExtractResult:
+    """Invoice-variant order parsing (amazon_invoice_pdf_parser.py:159-256):
+    one record per 'Shipped on'-delimited shipment block; amount = sum
+    price*qty over its items (fallback order_total), sign-normalized as a
+    debit; description = '; '-joined item descriptions; field inventory
+    (paid_by / order_number / ...) surfaced as rule-hit flags."""
+    hits: dict[str, int] = {}
+    fields = parse_invoice_fields(text)
+    for k in fields:
+        _hit(hits, f"r16_{k}")
+    order_placed = fields.get("order_placed")
+    order_total = fields.get("order_total")
+    records: list[Record] = []
+    pos = 0
+    for block in _INV_SHIP_SPLIT.split(text):
+        # zero-width split: blocks concatenate to text, offsets accumulate
+        block_off = pos
+        pos += len(block)
+        if "Items Ordered" not in block:
+            continue
+        im = _INV_ITEMS.search(block)
+        if not im:
+            continue
+        items = _invoice_items(im.group(1).strip())
+        if not items:
+            continue
+        total = round(sum(i["price"] * i["quantity"] for i in items), 2)
+        final = total if total > 0 else order_total
+        amount = normalize_sign(final, "debit")
+        desc = "; ".join(i["description"] for i in items)
+        if not order_placed:
+            _hit(hits, "p7_skipped_no_date")
+            continue
+        records.append(
+            Record(
+                order_placed, amount, desc, "charge",
+                block_off, block_off + len(block.rstrip()),
+            )
+        )
+        _hit(hits, "r16_shipment_record")
+        _hit(hits, "r17_price_times_qty", len(items))
+    return ExtractResult(records, hits, None)
+
+
+# --- bofa visa (bofa_visa_parser.py:27-53, 89-125, 156) ----------------------
+
+_BOFA_VISA_ROW = re.compile(
+    r"(\d{2}/\d{2})\s+(\d{2}/\d{2})?\s+(.*?)(\d{4})?\s+(\d{4})?\s+([\d,]+\.\d{2})?$"
+)
+
+
+def extract_bofa_visa(text: str) -> ExtractResult:
+    """BofA Visa: 'Purchases and Adjustments' start flag (bofa_visa_parser.py:
+    94-97), the 6-group optional row regex (:100-103), append_year Dec/Jan
+    repair against the FILENAME statement date (:27-53 + the filename split at
+    :74), and date-sorted output — the reference sorts the 'MM/DD/YYYY'
+    STRING column (:156), i.e. by (month, day, year); reproduced verbatim."""
+    hits: dict[str, int] = {}
+    stmt_year = stmt_month = None
+    iso = D.date_from_filename(text.split("\n", 1)[0])
+    if iso:
+        stmt_year, stmt_month = int(iso[:4]), int(iso[5:7])
+        _hit(hits, "r10_date_from_filename")
+    started = False
+    rows: list[tuple[str, Record]] = []
+    for ln in split_lines(text):
+        if "Purchases and Adjustments" in ln.text:
+            started = True
+            _hit(hits, "t2_section_flag")
+            continue
+        if not started:
+            continue
+        rm = _BOFA_VISA_ROW.match(ln.text)
+        if not rm:
+            continue
+        mmdd, _post, desc_raw, _ref, _acct, amt_raw = rm.groups()
+        mm, dd = int(mmdd[:2]), int(mmdd[3:5])
+        # append_year (bofa_visa_parser.py:44-49)
+        if stmt_year is not None and stmt_month is not None:
+            iso = D.repair_year_boundary(mm, dd, stmt_year, stmt_month)
+            if stmt_month == 1 and mm == 12:
+                _hit(hits, "r8_year_boundary")
+        else:
+            iso = None
+        amt = clean_amount(amt_raw)
+        desc = TN.normalize_description(desc_raw)
+        rec = Record(iso, amt, desc, None, ln.start, ln.end)
+        rows.append((f"{mm:02d}/{dd:02d}/{iso[:4] if iso else '0000'}", rec))
+        _hit(hits, "r2_bofa_visa_row")
+    # sort_values on the MM/DD/YYYY string column (bofa_visa_parser.py:156):
+    # lexicographic on (month, day, year) — stable here, ties keep scan order
+    rows.sort(key=lambda t: t[0])
+    return ExtractResult([r for _, r in rows], hits, None)
+
+
+# --- apple card CSV (apple_card_csv_parser.py:38-135) ------------------------
+
+_APPLE_REQUIRED = ("Transaction Date", "Clearing Date", "Description", "Amount (USD)")
+
+
+def extract_csv_apple_card(text: str) -> ExtractResult:
+    """Apple Card CSV: header-set detection (apple_card_csv_parser.py:
+    122-135), 'payment'-in-Type classification (:66-69), and the INVERTED
+    sign source — is_charge_positive=True negates unconditionally
+    (:71-79 + data_transformation.py:71-75): in-file charges are positive
+    (-> negative) and payments negative (-> positive)."""
+    hits: dict[str, int] = {}
+    records: list[Record] = []
+    cols: list[str] | None = None
+    for ln in split_lines(text):
+        if cols is None:
+            if all(h in ln.text for h in _APPLE_REQUIRED):
+                cols = [c.strip() for c in next(_csv.reader(_io.StringIO(ln.text)))]
+                _hit(hits, "s4_header_detected")
+            continue
+        vals = next(_csv.reader(_io.StringIO(ln.text)), [])
+        if len(vals) != len(cols):
+            continue
+        row = dict(zip(cols, vals))
+        iso = D.parse_date(row.get("Transaction Date", ""))
+        ttype = "credit" if "payment" in row.get("Type", "").lower() else "debit"
+        amt = normalize_sign(
+            clean_amount(row.get("Amount (USD)")), ttype, is_charge_positive=True
+        )
+        desc = TN.normalize_description(row.get("Description", ""))
+        records.append(Record(iso, amt, desc, ttype, ln.start, ln.end))
+        _hit(hits, "r5_inverted_sign")
+    return ExtractResult(records, hits, None)
+
+
 # --- capital one CSV (capitalone_csv_parser.py:74-134) ----------------------
 
 _CAPONE_HEADER = "Transaction Date,Posted Date,Card No.,Description,Category,Debit,Credit"
@@ -714,6 +935,9 @@ EXTRACTORS = {
     "chase_visa": extract_chase_visa,
     "chase_checking": extract_chase_checking,
     "bofa_bank": extract_bofa_bank,
+    "bofa_visa": extract_bofa_visa,
+    "amazon_invoice": extract_amazon_invoice,
+    "csv_apple_card": extract_csv_apple_card,
     "wf_mastercard": extract_wf_mastercard,
     "wf_visa": extract_wf_visa,
     "first_republic": extract_first_republic,

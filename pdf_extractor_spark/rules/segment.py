@@ -161,3 +161,76 @@ def classify_by_space_geometry(line: str) -> str | None:
         return None
     width = runs[idx].length
     return "deposit" if width >= 4 else "withdrawal"
+
+
+# --- R18: name/address block composition (chase_checking.py:320-364) ---------
+
+_STREET_LINE = re.compile(r"^\d+ .+")
+_CITYZIP = re.compile(r"\d{5}(-\d{4})?")
+_CAPS_RUN = re.compile(r"[A-Z][A-Z .,'-]{2,}")
+_COUPON_ADDR = re.compile(r"\d+ [A-Z0-9 ]+")
+_COUPON_ACCT = re.compile(r"Account Number\s*([\d ]{8,})")
+
+R18_SKIP_PHRASES = frozenset(
+    {"CUSTOMER SERVICE INFORMATION", "CHECKING SUMMARY", "TRANSACTION DETAIL"}
+)
+R18_SERVICE_PHRASES = (
+    "We accept operator relay calls",
+    "International Calls",
+    "Service Center:",
+    "Para Espanol:",
+    "1-713-262-1679",
+    "1-888-262-4273",
+)
+
+
+def find_name_address(text: str) -> tuple[str | None, str | None]:
+    """R18 full composition (chase_checking.py:320-364): the FIRST adjacent
+    (street, city/zip) line pair — street ``^\\d+ .+``, next line containing
+    ``\\d{5}(-\\d{4})?`` — plus ALL-CAPS name runs collected from the 10 lines
+    ABOVE the street line, with customer-service phrases stripped, skip-set
+    headers excluded, and single-word runs rejected. Returns (name, address)."""
+    raw = [ln for ln in (s.strip() for s in text.split("\n")) if ln]
+    cleaned = [re.sub(r"\s+", " ", ln.replace("\xa0", " ")).strip() for ln in raw]
+    address = None
+    address_idx = None
+    for idx in range(len(cleaned) - 1):
+        if _STREET_LINE.match(cleaned[idx]) and _CITYZIP.search(cleaned[idx + 1]):
+            address = cleaned[idx] + " " + cleaned[idx + 1]
+            address_idx = idx
+            break
+    names: list[str] = []
+    if address_idx is not None:
+        for ln in cleaned[max(0, address_idx - 10):address_idx]:
+            for phrase in R18_SERVICE_PHRASES:
+                ln = ln.replace(phrase, "")
+            ln = ln.strip()
+            for m in _CAPS_RUN.findall(ln):
+                if m not in R18_SKIP_PHRASES and len(m.split()) >= 2:
+                    names.append(m)
+    return (" ".join(names) if names else None), address
+
+
+def find_coupon_block(text: str) -> tuple[str | None, str | None, str | None]:
+    """R18 coupon variant (wellsfargo_visa_parser.py:511-534): scan the LAST
+    40 lines for the first ``\\d+ [A-Z0-9 ]+`` street line; name = preceding
+    line, address = street + ', ' + following line; account number = first
+    ``Account Number <digits/spaces>{8,}`` run with spaces stripped."""
+    lines = [ln for ln in (s.strip() for s in text.split("\n")) if ln]
+    coupon = lines[-40:]
+    addr_idx = None
+    for i, ln in enumerate(coupon):
+        if _COUPON_ADDR.match(ln):
+            addr_idx = i
+            break
+    name = address = None
+    if addr_idx is not None and addr_idx > 0 and addr_idx + 1 < len(coupon):
+        name = coupon[addr_idx - 1]
+        address = coupon[addr_idx] + ", " + coupon[addr_idx + 1]
+    acct = None
+    for ln in coupon:
+        m = _COUPON_ACCT.search(ln)
+        if m:
+            acct = m.group(1).replace(" ", "")
+            break
+    return name, address, acct

@@ -71,8 +71,18 @@ def gen_chase_checking(rng: random.Random) -> str:
         "*start*checking summary",
         "CHECKING SUMMARY",
         "Statement Date: 12/31/2023",
-        "TRANSACTION DETAIL",
     ]
+    if rng.random() < 0.5:
+        # R18 name/address block: ALL-CAPS runs above a street+zip pair,
+        # with occasional service-phrase noise (chase_checking.py:320-364)
+        noise = " Service Center:" if rng.random() < 0.4 else ""
+        lines += [
+            f"JOHN Q PUBLIC{noise}",
+            "ACME HOLDINGS LLC",
+            f"{rng.randint(100, 9999)} MAIN ST",
+            f"SPRINGFIELD IL {rng.randint(10000, 99999)}",
+        ]
+    lines.append("TRANSACTION DETAIL")
     for _ in range(rng.randint(2, 5)):
         sign = "-" if rng.random() < 0.5 else ""
         lines.append(
@@ -134,6 +144,14 @@ def gen_wf_visa(rng: random.Random) -> str:
             f"REF{rng.randint(100,999)} {_merch(rng)} {_amt(rng)}"
         )
     lines.append("TOTAL PURCHASES FOR THIS PERIOD")
+    if rng.random() < 0.4:
+        # R18 coupon block in the statement tail (wellsfargo_visa_parser.py:511-534)
+        lines += [
+            "JOHN Q PUBLIC",
+            f"{rng.randint(100, 9999)} MARKET ST",
+            f"SAN FRANCISCO CA {rng.randint(10000, 99999)}",
+            f"Account Number {rng.randint(1000,9999)} {rng.randint(1000,9999)} {rng.randint(1000,9999)}",
+        ]
     return "\n".join(lines)
 
 
@@ -187,6 +205,87 @@ def gen_amazon_order(rng: random.Random) -> str:
         f"Order Total: ${_amt(rng, 10, 500)}\n"
         "Items Ordered\n" + "\n".join(items) + "\nShipping Address:\nJOHN DOE" + gift
     )
+
+
+def gen_bofa_visa(rng: random.Random) -> str:
+    """BofA Visa: filename-derived statement date + 'Purchases and
+    Adjustments' start flag + the 6-column row shape; occasional missing
+    amount exercises the optional-group regex + P5 quarantine."""
+    stmt = rng.choice(("20240115", "20231220"))
+    lines = [
+        f"FILE: bofa_visa_{stmt}.pdf",
+        "Account Summary",
+        "Purchases and Adjustments",
+    ]
+    for _ in range(rng.randint(2, 5)):
+        month = rng.choice((12, 1)) if stmt == "20240115" else 12
+        d1, d2 = _mmdd(rng, month), _mmdd(rng, month)
+        ref, acct = rng.randint(1000, 9999), rng.randint(1000, 9999)
+        amt = _amt(rng) if rng.random() < 0.85 else ""
+        lines.append(f"{d1} {d2} {_merch(rng)} {ref} {acct} {amt}".rstrip())
+    return "\n".join(lines)
+
+
+def gen_amazon_invoice(rng: random.Random) -> str:
+    """Amazon invoice variant: Final Details header, paid/placed-by, order
+    number, shipment blocks with Sold by/Supplied by/Condition item tails,
+    payment block — the amazon_invoice_pdf_parser.py:53-156 field surface."""
+    order_no = f"112-{rng.randint(1000000,9999999)}-{rng.randint(1000000,9999999)}"
+    placed_day = rng.randint(1, 28)
+    shipments = []
+    for _ in range(rng.randint(1, 2)):
+        items = []
+        for _ in range(rng.randint(1, 3)):
+            name = f"WIDGET {rng.choice(('PRO','MAX','MINI','XL'))}"
+            seller = rng.choice(
+                (
+                    "Sold by: WidgetCo\nCondition: New",
+                    "Sold by: WidgetCo\nSupplied by: Other LLC\nCondition: Used - Good",
+                    "Sold by: GadgetWorks (seller profile)",
+                )
+            )
+            price = f"{round(rng.uniform(5, 200), 2):.2f}"
+            items.append(f"{rng.randint(1,3)} of: {name}\n{seller}\n${price}")
+        shipments.append(
+            f"Shipped on March {rng.randint(placed_day, 28)}, 2024\n"
+            "Items Ordered Price\n" + "\n".join(items) + "\n"
+            "Shipping Address:\nJOHN DOE\n123 MAIN ST\nShipping Speed:\nStandard"
+        )
+    total = f"{round(rng.uniform(20, 600), 2):.2f}"
+    return (
+        f"Final Details for Order #{order_no}\n"
+        f"Order Placed: March {placed_day}, 2024\n"
+        f"Amazon.com order number: {order_no}\n"
+        f"Order Total: ${total}\n"
+        "Paid By: JOHN DOE\nPlaced By: JANE DOE\n"
+        + "\n".join(shipments)
+        + "\nPayment information\n"
+        f"Visa ending in {rng.randint(1000,9999)}: March 28, 2024: ${total}\n"
+        "To view the status of your order, return to Order Summary."
+    )
+
+
+def gen_csv_apple_card(rng: random.Random) -> str:
+    """Apple Card CSV: the inverted-sign source — charges POSITIVE in the
+    file, payments NEGATIVE (apple_card_csv_parser.py:71-79)."""
+    lines = [
+        "Transaction Date,Clearing Date,Description,Merchant,Category,Type,Amount (USD),Purchased By"
+    ]
+    for _ in range(rng.randint(2, 6)):
+        d = rng.randint(1, 27)
+        amt = f"{round(rng.uniform(1.0, 900.0), 2):.2f}"
+        if rng.random() < 0.3:
+            lines.append(
+                f"01/{d:02d}/2024,01/{d+1:02d}/2024,ACH Deposit Internet Transfer,"
+                f"Apple Card,Payment,Payment,-{amt},JOHN DOE"
+            )
+        else:
+            ttype = rng.choice(("Purchase", "Installment", "Interest Charge"))
+            lines.append(
+                f"01/{d:02d}/2024,01/{d+1:02d}/2024,{_merch(rng)},"
+                f"{rng.choice(('Apple','Uber','Costco'))},Other,{ttype},{amt},JOHN DOE"
+            )
+    return "\n".join(lines)
 
 
 def gen_csv_capitalone(rng: random.Random) -> str:
@@ -296,6 +395,9 @@ FAMILY_GENERATORS = (
     ("chase_visa", gen_chase_visa),
     ("chase_checking", gen_chase_checking),
     ("bofa_bank", gen_bofa_bank),
+    ("bofa_visa", gen_bofa_visa),
+    ("amazon_invoice", gen_amazon_invoice),
+    ("csv_apple_card", gen_csv_apple_card),
     ("wf_mastercard", gen_wf_mastercard),
     ("wf_visa", gen_wf_visa),
     ("first_republic", gen_first_republic),

@@ -1,0 +1,146 @@
+"""Round-2 parity families: Apple Card inverted-sign CSV, BofA Visa, and the
+Amazon invoice variant — contract tests mirroring the reference's
+tests/test_parser_contracts.py plus field-level parity fixtures."""
+
+from __future__ import annotations
+
+import random
+
+from pdf_extractor_spark.rules.extractors import (
+    extract_amazon_invoice,
+    extract_bofa_visa,
+    extract_csv_apple_card,
+    parse_invoice_fields,
+)
+from pdf_extractor_spark.rules.oracle import extract_turn
+from pdf_extractor_spark.sources.synth import (
+    gen_amazon_invoice,
+    gen_bofa_visa,
+    gen_csv_apple_card,
+)
+
+APPLE_FIXTURE = """Transaction Date,Clearing Date,Description,Merchant,Category,Type,Amount (USD),Purchased By
+01/05/2024,01/06/2024,APPLE.COM/BILL,Apple,Services,Purchase,9.99,JOHN DOE
+01/10/2024,01/11/2024,ACH Deposit Internet Transfer,Apple Card,Payment,Payment,-150.00,JOHN DOE
+01/12/2024,01/13/2024,"TRADER JOE'S, SF",Groceries,Food,Purchase,42.50,JOHN DOE
+"""
+
+
+def test_apple_card_sign_contract():
+    """Reference contract (tests/test_parser_contracts.py:34-52): payments
+    positive, charges negative — the is_charge_positive=True inversion."""
+    r = extract_csv_apple_card(APPLE_FIXTURE)
+    by_desc = {rec.description: rec for rec in r.records}
+    charge = by_desc["APPLE.COM/BILL"]
+    payment = by_desc["ACH Deposit Internet Transfer"]
+    quoted = by_desc["TRADER JOE'S, SF"]
+    assert charge.ttype == "debit" and charge.amount == -9.99
+    assert payment.ttype == "credit" and payment.amount == 150.00
+    assert quoted.amount == -42.5  # quoted comma-bearing description survives
+    assert charge.date == "2024-01-05"
+
+
+def test_apple_card_every_synth_row_obeys_signs():
+    for seed in range(30):
+        t = gen_csv_apple_card(random.Random(seed))
+        r = extract_turn(t)
+        assert r.family == "csv_apple_card"
+        for line in filter(None, r.extracted_text.split("\n")):
+            _, amount, _, ttype = line.split("|")
+            if ttype == "debit":
+                assert float(amount) < 0
+            else:
+                assert ttype == "credit" and float(amount) > 0
+
+
+BOFA_VISA_FIXTURE = """FILE: bofa_visa_20240115.pdf
+Account Summary
+Purchases and Adjustments
+12/28 12/29 HOLIDAY STORE 1111 2222 50.00
+01/03 01/04 NEWYEAR SHOP 3333 4444 25.00
+"""
+
+
+def test_bofa_visa_append_year_and_sort():
+    """append_year (bofa_visa_parser.py:27-53): Dec rows on a January
+    statement land in the PREVIOUS year; output sorted by the MM/DD/YYYY
+    string (:156), i.e. January before December."""
+    r = extract_bofa_visa(BOFA_VISA_FIXTURE)
+    assert [rec.date for rec in r.records] == ["2024-01-03", "2023-12-28"]
+    assert r.records[0].description == "NEWYEAR SHOP"
+    assert r.hits.get("r10_date_from_filename") == 1
+    assert r.hits.get("r8_year_boundary") == 1
+
+
+def test_bofa_visa_rows_without_start_flag_ignored():
+    r = extract_bofa_visa("FILE: x_20240115.pdf\n12/28 12/29 SHOP 1111 2222 5.00")
+    assert r.records == []
+
+
+INVOICE_FIXTURE = """Final Details for Order #112-1234567-7654321
+Order Placed: March 5, 2024
+Amazon.com order number: 112-1234567-7654321
+Order Total: $99.97
+Paid By: JOHN DOE
+Placed By: JANE DOE
+Shipped on March 7, 2024
+Items Ordered Price
+2 of: WIDGET PRO
+Sold by: WidgetCo
+Supplied by: Other LLC
+Condition: New
+$29.99
+1 of: GADGET MAX
+Sold by: GadgetWorks (seller profile)
+$39.99
+Shipping Address:
+JOHN DOE
+123 MAIN ST
+Shipping Speed:
+Standard
+Payment information
+Visa ending in 4242: March 7, 2024: $99.97
+To view the status of your order, return to Order Summary.
+"""
+
+
+def test_invoice_fields_parity():
+    """amazon_invoice_pdf_parser.py:53-106 field surface."""
+    f = parse_invoice_fields(INVOICE_FIXTURE)
+    assert f["order_number"] == "112-1234567-7654321"
+    assert f["paid_by"] == "JOHN DOE"
+    assert f["placed_by"] == "JANE DOE"
+    assert f["order_total"] == 99.97
+    assert f["order_placed"] == "2024-03-05"
+    assert f["shipped_date"] == "2024-03-07"
+    assert f["shipping_address"] == "JOHN DOE\n123 MAIN ST"
+    assert f["payment_method"] == "Visa 4242"
+    assert f["payment_date"] == "2024-03-07"
+    assert f["payment_amount"] == 99.97
+
+
+def test_invoice_items_and_amount():
+    """Item parsing (:112-156): last-price anchor, Sold by/Supplied by/
+    Condition tail strip, amount = -(sum price*qty) as a normalized debit."""
+    r = extract_amazon_invoice(INVOICE_FIXTURE)
+    assert len(r.records) == 1
+    rec = r.records[0]
+    assert rec.description == "WIDGET PRO; GADGET MAX"
+    assert rec.amount == -(round(2 * 29.99 + 1 * 39.99, 2))
+    assert rec.date == "2024-03-05"
+    assert rec.ttype == "charge"
+
+
+def test_invoice_dispatch_beats_amazon_order():
+    """Registration order: invoice text also contains 'Order Placed:', so the
+    invoice check must win (first-match dispatch S5/J4)."""
+    assert extract_turn(INVOICE_FIXTURE).family == "amazon_invoice"
+
+
+def test_new_families_detected_in_synth():
+    fams = set()
+    for seed in range(40):
+        rng = random.Random(seed)
+        for gen in (gen_bofa_visa, gen_amazon_invoice, gen_csv_apple_card):
+            fams.add(extract_turn(gen(rng)).family)
+    assert fams == {"bofa_visa", "amazon_invoice", "csv_apple_card"}

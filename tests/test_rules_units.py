@@ -22,11 +22,14 @@ def test_detection_order_is_pinned():
         "wf_mastercard",
         "wf_visa",
         "bofa_bank",
+        "bofa_visa",
         "first_republic",
         "chase_checking",
         "chase_visa",
         "wf_bank_layout",
+        "amazon_invoice",  # before amazon_order: invoice text also carries 'Order Placed:'
         "amazon_order",
+        "csv_apple_card",
         "csv_capitalone",
         "csv_wf_checking",
         "noisy_desc",
