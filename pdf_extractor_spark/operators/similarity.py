@@ -39,13 +39,40 @@ def cosine(a, b):
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def assign_clusters(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
-    """Nearest-centroid assignment (centroids = vec_id < n_centroids for
-    oracle determinism). Returns (vec_id, e, cluster)."""
+def centroids_from_ids(emb: DataFrame, n_centroids: int) -> DataFrame:
+    """Deterministic centroid set (vec_id < n_centroids): untrained but
+    exactly mirrorable in the DuckDB oracle — the GATE configuration."""
+    return emb.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("e").alias("ce")
+    )
+
+
+def train_centroids_kmeans(
+    emb: DataFrame, n_centroids: int = 8, seed: int = 42, max_iter: int = 20
+) -> DataFrame:
+    """K-means-trained centroids (Spark MLlib): the PRODUCTION configuration —
+    recall at a given nprobe depends on centroid quality, and trained
+    centroids track the data distribution instead of data-luck. Returns the
+    same (cent_id, ce) shape as ``centroids_from_ids`` so every downstream
+    op is centroid-source-agnostic. The centroid set is tiny (k rows): built
+    on the driver, broadcast at use."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.select(array_to_vector(F.col("e")).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return emb.sparkSession.createDataFrame(centers, "cent_id int, ce array<double>")
+
+
+def assign_clusters(
+    emb: DataFrame, n_centroids: int = 8, centroids: DataFrame | None = None
+) -> DataFrame:
+    """Nearest-centroid assignment. Returns (vec_id, e, cluster)."""
     cents = F.broadcast(
-        emb.where(F.col("vec_id") < n_centroids).select(
-            F.col("vec_id").alias("cent_id"), F.col("e").alias("ce")
-        )
+        centroids if centroids is not None else centroids_from_ids(emb, n_centroids)
     )
     scored = emb.crossJoin(cents).select(
         "vec_id", "e", "cent_id", cosine(F.col("e"), F.col("ce")).alias("ccos")
@@ -58,13 +85,16 @@ def assign_clusters(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
     )
 
 
-def probe_clusters(emb: DataFrame, n_centroids: int, nprobe: int) -> DataFrame:
+def probe_clusters(
+    emb: DataFrame,
+    n_centroids: int,
+    nprobe: int,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
     """Top-nprobe nearest centroids per vector: (vec_id, e, cluster) with one
     row per probed cluster (nprobe=1 == assign_clusters)."""
     cents = F.broadcast(
-        emb.where(F.col("vec_id") < n_centroids).select(
-            F.col("vec_id").alias("cent_id"), F.col("e").alias("ce")
-        )
+        centroids if centroids is not None else centroids_from_ids(emb, n_centroids)
     )
     scored = emb.crossJoin(cents).select(
         "vec_id", "e", "cent_id", cosine(F.col("e"), F.col("ce")).alias("ccos")
@@ -83,15 +113,20 @@ def ivf_topk(
     k: int = 3,
     n_centroids: int = 8,
     nprobe: int = 1,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their ONE nearest
     cluster; each query probes its ``nprobe`` nearest clusters (the standard
     recall/latency knob — nprobe == n_centroids degenerates to brute force).
+    ``centroids``: pass ``train_centroids_kmeans(...)`` for the production
+    configuration; None keeps the oracle-mirrorable deterministic subset.
     Returns (query_id, neighbor_id, cosine, rank) — 4-dp fixed point,
     (cos desc, neighbor_id) tiebreak."""
-    assigned = assign_clusters(as_double(emb).select("vec_id", "e"), n_centroids)
+    assigned = assign_clusters(
+        as_double(emb).select("vec_id", "e"), n_centroids, centroids=centroids
+    )
     probes = probe_clusters(
-        as_double(emb).select("vec_id", "e"), n_centroids, nprobe
+        as_double(emb).select("vec_id", "e"), n_centroids, nprobe, centroids=centroids
     )
     queries = probes.where(
         (F.col("vec_id") >= query_ids[0]) & (F.col("vec_id") < query_ids[1])

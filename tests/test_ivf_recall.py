@@ -63,3 +63,25 @@ def test_nprobe_recall_is_monotonic_and_converges(emb):
     # even on this RANDOM embedding corpus, where clusters carry little
     # structure (measured ~0.28); real embeddings cluster far better
     assert recalls[1] > 0.15
+
+
+def test_kmeans_trained_centroids(emb):
+    """Trained-centroid IVF (the production config): same contract — probing
+    every cluster is exact, fewer probes trade recall; centroid frame shape
+    is interchangeable with the deterministic gate set."""
+    from pdf_extractor_spark.operators.similarity import train_centroids_kmeans
+
+    cents = train_centroids_kmeans(as_double(emb).select("vec_id", "e"), N_CENTROIDS, seed=42)
+    assert cents.columns == ["cent_id", "ce"]
+    assert cents.count() == N_CENTROIDS
+    truth = _neighbor_sets(_brute_truth(emb))
+    full = _neighbor_sets(
+        ivf_topk(emb, query_ids=QUERIES, k=K, n_centroids=N_CENTROIDS,
+                 nprobe=N_CENTROIDS, centroids=cents)
+    )
+    assert _recall(full, truth) == 1.0
+    one = _neighbor_sets(
+        ivf_topk(emb, query_ids=QUERIES, k=K, n_centroids=N_CENTROIDS,
+                 nprobe=1, centroids=cents)
+    )
+    assert 0.0 < _recall(one, truth) < 1.0
