@@ -157,11 +157,17 @@ def gen_wf_visa(rng: random.Random) -> str:
 
 def gen_first_republic(rng: random.Random) -> str:
     # 20% of statements carry an NBSP-degraded period line (exercises the
-    # NFKD fallback rung of the R9 ladder end-to-end)
-    sep = "\xa0" if rng.random() < 0.2 else " "
+    # NFKD fallback rung of the R9 ladder end-to-end); a further 15% degrade
+    # to a comma-less 'through' line only the dateutil fuzzy rung can parse
+    u = rng.random()
+    if u < 0.15:
+        period = f"Account activity through May {rng.randint(11, 24)} 2024"
+    else:
+        sep = "\xa0" if u < 0.35 else " "
+        period = f"Statement Period: May{sep}11, 2024 - May{sep}24, 2024"
     lines = [
         "First Republic Bank",
-        f"Statement Period: May{sep}11, 2024 - May{sep}24, 2024",
+        period,
         "Account Number: 123-456789",
         "Deposits",
     ]

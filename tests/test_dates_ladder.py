@@ -73,3 +73,20 @@ def test_interest_credit_rule():
     assert interest_credit_date("INTEREST CREDIT", "2024-05-12", "2024-05-24") == "2024-05-24"
     assert interest_credit_date("COFFEE", "2024-05-12", "2024-05-24") == "2024-05-12"
     assert interest_credit_date("INTEREST CREDIT", "2024-05-12", None) == "2024-05-12"
+
+
+def test_fuzzy_through_rung():
+    """R9 last rung (utils/utils.py:157-166): dateutil fuzzy parse of the 40
+    chars after 'through' — deterministic via the pinned 1900 default."""
+    from pdf_extractor_spark.rules.dates import extract_statement_period
+
+    s, e, src = extract_statement_period("Account activity through May 24 2024\nrest")
+    assert (s, e, src) == (None, "2024-05-24", "content_fuzzy")
+    # no year in the snippet -> the pinned default year is rejected, rung skipped
+    s, e, src = extract_statement_period("carried through May 24 only")
+    assert e is None and src == "none"
+    # earlier rungs still win over the fuzzy one
+    s, e, src = extract_statement_period(
+        "Statement Period: May 11, 2024 - May 24, 2024\nblah through May 30 2024"
+    )
+    assert (s, e, src) == ("2024-05-11", "2024-05-24", "content")
