@@ -1043,6 +1043,50 @@ _R25_ORACLE = """
 """
 
 
+def q_r23_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R23 classification standardization (utils/utils.py:99-120): SEQUENTIAL
+    keyword rules — each rule rewrites the value if the keyword appears in
+    the CURRENT (possibly already-rewritten) value, in rule order
+    business -> needs -> personal. Expressed as nested conditionals so the
+    sequential semantics survive (a 'business personal' label becomes
+    'Business Expense' and stops, exactly like the reference loop)."""
+    part = _t(spark, sf_dir, "part")
+    raw = (
+        F.when(F.col("p_partkey") % 4 == 0, F.lit("misc Business travel"))
+        .when(F.col("p_partkey") % 4 == 1, F.lit("NEEDS review maybe"))
+        .when(F.col("p_partkey") % 4 == 2, F.lit("personal business stuff"))
+        .otherwise(F.concat(F.lit("other "), F.col("p_type")))
+    )
+    s1 = F.when(F.lower(raw).contains("business"), F.lit("Business Expense")).otherwise(raw)
+    s2 = F.when(F.lower(s1).contains("needs"), F.lit("Needs Review")).otherwise(s1)
+    s3 = F.when(F.lower(s2).contains("personal"), F.lit("Personal Expense")).otherwise(s2)
+    return part.select(
+        "p_partkey", raw.alias("raw_class"), s3.alias("std_class")
+    )
+
+
+_R23_ORACLE = """
+    WITH t AS (
+      SELECT p_partkey,
+             CASE p_partkey % 4
+               WHEN 0 THEN 'misc Business travel'
+               WHEN 1 THEN 'NEEDS review maybe'
+               WHEN 2 THEN 'personal business stuff'
+               ELSE 'other ' || p_type END AS raw_class
+      FROM part),
+    s1 AS (SELECT p_partkey, raw_class,
+                  CASE WHEN contains(lower(raw_class), 'business')
+                       THEN 'Business Expense' ELSE raw_class END AS v FROM t),
+    s2 AS (SELECT p_partkey, raw_class,
+                  CASE WHEN contains(lower(v), 'needs')
+                       THEN 'Needs Review' ELSE v END AS v FROM s1),
+    s3 AS (SELECT p_partkey, raw_class,
+                  CASE WHEN contains(lower(v), 'personal')
+                       THEN 'Personal Expense' ELSE v END AS v FROM s2)
+    SELECT p_partkey, raw_class, v AS std_class FROM s3
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal (rows-only gate entries: payload bytes are built by Python zlib,
 # so no DuckDB oracle can mirror them; tests/test_multimodal.py holds the

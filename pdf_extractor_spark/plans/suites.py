@@ -228,13 +228,20 @@ _ORDER_DATE_ORACLE = _compose_join(
 
 
 def q_part_rules_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R4 amount cleaning + R18 ALL-CAPS run capture + R25 key cleanup + J5
-    keyword routing (SURVEY §2.4/§2.5) per p_partkey."""
+    """R4 amount cleaning + R18 ALL-CAPS run capture + R23 classification
+    standardization + R25 key cleanup + J5 keyword routing (SURVEY
+    §2.4/§2.5) per p_partkey."""
     r4 = catalog_ext2.q_r4_amount_clean(spark, sf_dir)
     r18 = catalog_ext2.q_r18_allcaps_runs(spark, sf_dir)
+    r23 = catalog_ext2.q_r23_classification(spark, sf_dir)
     r25 = catalog_ext2.q_r25_key_cleanup(spark, sf_dir)
     j5 = catalog_ext2.q_j5_keyword_routing(spark, sf_dir)
-    return r4.join(r18, "p_partkey").join(r25, "p_partkey").join(j5, "p_partkey")
+    return (
+        r4.join(r18, "p_partkey")
+        .join(r23, "p_partkey")
+        .join(r25, "p_partkey")
+        .join(j5, "p_partkey")
+    )
 
 
 _PART_RULES_ORACLE = _compose_join(
@@ -242,6 +249,7 @@ _PART_RULES_ORACLE = _compose_join(
     [
         ("r4", catalog_ext2._R4_ORACLE),
         ("r18", catalog_ext2._R18_ORACLE),
+        ("r23", catalog_ext2._R23_ORACLE),
         ("r25", catalog_ext2._R25_ORACLE),
         ("j5", catalog_ext2._J5_ORACLE),
     ],
@@ -251,6 +259,8 @@ _PART_RULES_ORACLE = _compose_join(
         "r4.amount",
         "r18.n_runs",
         "r18.first_run",
+        "r23.raw_class",
+        "r23.std_class",
         "r25.clean_key",
         "r25.is_garbage",
         "j5.route",
@@ -668,7 +678,7 @@ def registry() -> tuple[
     add("r1_r2_line_extraction", q_r1_r2_line_extraction, _R1_R2_ORACLE)
     add("r3_r5_r6_p5_event_rules", q_event_rules_suite, _EVENT_RULES_ORACLE)
     add("r7_r8_r9_r10_r24_date_rules", q_order_date_rules, _ORDER_DATE_ORACLE)
-    add("r4_r18_r25_j5_part_rules", q_part_rules_suite, _PART_RULES_ORACLE)
+    add("r4_r18_r23_r25_j5_part_rules", q_part_rules_suite, _PART_RULES_ORACLE)
     add("p2_p8_r12_s4_customer_rules", q_customer_rules_suite, _CUSTOMER_RULES_ORACLE)
     add("r13_r14_o2_j4_t5_doc_rules", q_doc_rules_suite, _DOC_RULES_ORACLE)
     add("p3_p6_keyword_filters", q_p3_p6_keyword_filters, _P3_P6_ORACLE)
