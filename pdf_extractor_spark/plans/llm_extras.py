@@ -1,0 +1,253 @@
+"""Training-data pipeline extras (round 2): near-dup connected components,
+sequence packing, stratified hash sampling, and TF-IDF keyword extraction —
+the ops a 100 TB pretraining pipeline runs AFTER the dedup/quality ladder.
+Each is a (Spark impl, DuckDB oracle) pair like the rest of the catalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import h32, h32_sql
+from ..operators.dedup import minhash_lsh_pairs
+from .catalog_ext import _minhash_lsh_oracle
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _r6(col) -> F.Column:
+    return F.floor(col * 1000000.0 + F.lit(0.5)) / 1000000.0
+
+
+# ---------------------------------------------------------------------------
+# near-dup connected components (dedup GROUPS, not just pairs)
+# ---------------------------------------------------------------------------
+
+def near_dup_components(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Connected components over a near-dup pair relation by iterative
+    min-label propagation: every node starts as its own component; each round
+    every node takes the min label among itself and its neighbors; monotone
+    decreasing integer labels => converges in <= diameter rounds.
+
+    Scale notes: this simple propagation is fine for the short-diameter
+    components near-dup graphs produce (dup clusters are dense, diameter
+    2-3); for adversarial long-chain graphs use the alternating
+    Large-Star/Small-Star formulation, which converges in O(log n) rounds.
+    Each round is one shuffle on the edge key. The loop is a driver-side
+    while with a single scalar agg as the convergence test — no data is
+    collected.
+    """
+    nodes = docs.select(F.col(id_col).alias("node")).distinct()
+    edges = (
+        pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+        .union(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("comp"))
+    while True:
+        neigh = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new = (
+            labels.join(neigh, labels.node == neigh.a, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"),
+            )
+        )
+        new = new.localCheckpoint(eager=True)  # cut the iterative lineage
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col),
+        F.col("comp").alias("component"),
+        (F.col("comp") == F.col("node")).alias("is_canonical"),
+    )
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Components over the bounded MinHash+LSH near-dup pairs (same pair
+    relation as the dedup_minhash_suite 'bounded' variant): canonical doc =
+    min doc_id per component — the keep/drop decision of a dedup pass."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    pairs = minhash_lsh_pairs(docs, threshold=0.9)
+    return near_dup_components(docs.select("doc_id"), pairs)
+
+
+_COMPONENTS_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({_minhash_lsh_oracle()}),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION
+      SELECT d2 AS a, d1 AS b FROM pairs),
+    nodes AS (SELECT doc_id AS node FROM documents WHERE doc_id < 500),
+    reach(src, node) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a)
+    SELECT src AS doc_id, MIN(node) AS component,
+           (MIN(node) = src) AS is_canonical
+    FROM reach GROUP BY src
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (token-budget binning for training batches)
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 2048
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: per language, documents in deterministic (doc_id)
+    order are laid into fixed token-budget bins; bin id and in-bin offset
+    come from the running token sum — one window cumsum, no loop. This is
+    the contiguous-packing approximation training pipelines use to batch
+    variable-length documents. Scale: one shuffle on the stratum key; the
+    cumsum is a per-partition running sum."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(n_tok).over(w), F.lit(0).cast("long"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tokens"),
+        F.floor(cum_before / PACK_BUDGET).cast("long").alias("bin_id"),
+        (cum_before % PACK_BUDGET).cast("long").alias("bin_offset"),
+    )
+
+
+_PACK_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cum_before
+      FROM t)
+    SELECT doc_id, lang, n_tokens,
+           CAST(FLOOR(cum_before / {PACK_BUDGET}) AS BIGINT) AS bin_id,
+           CAST(cum_before % {PACK_BUDGET} AS BIGINT) AS bin_offset
+    FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# stratified deterministic sampling
+# ---------------------------------------------------------------------------
+
+_STRATA_RATES = {"en": 400, "zh": 800, "de": 600, "es": 600, "fr": 600}  # per 1000
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified hash sampling: per-language keep rates applied via the
+    cross-engine md5-prefix hash of the doc id — deterministic, replayable,
+    and uniform (never rand(): a resampled run must keep the SAME docs).
+    The standard language-rebalancing step of a pretraining mix."""
+    docs = _t(spark, sf_dir, "documents")
+    rate = F.lit(None).cast("long")
+    for lang, r in _STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    rate = F.coalesce(rate, F.lit(500))
+    bucket = h32(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))) % 1000
+    return docs.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        (bucket < rate).alias("sampled"),
+    )
+
+
+def _sample_oracle() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN {r}" for lang, r in _STRATA_RATES.items()
+    )
+    h = h32_sql("'sample:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+        SELECT doc_id, lang,
+               {h} % 1000 AS bucket,
+               ({h} % 1000) < (CASE {cases} ELSE 500 END) AS sampled
+        FROM documents
+    """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-k keywords per document
+# ---------------------------------------------------------------------------
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: explode tokens, document frequency per
+    token, idf = ln((N+1)/(df+1)) + 1 (smoothed), top-3 tokens per document
+    with a total-order tiebreak. Scale: two shuffles (token df agg + per-doc
+    window); df table is small and broadcast back."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    n_docs = docs.count()  # tiny bounded subset; at scale: a scalar agg join
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).where(F.length("tok") > 0)
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_ = toks.select("doc_id", "tok").distinct().groupBy("tok").agg(
+        F.count("*").alias("df")
+    )
+    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = tf.join(F.broadcast(df_), "tok").select(
+        "doc_id", "tok", _r6(F.col("tf") * idf).alias("tfidf")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "tok", "tfidf", F.col("rn").cast("long").alias("rank"))
+    )
+
+
+_TFIDF_ORACLE = """
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+    n AS (SELECT COUNT(*) AS n_docs FROM docs),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM docs),
+    toks2 AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks2 GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(*) AS df
+           FROM (SELECT DISTINCT doc_id, tok FROM toks2) GROUP BY tok),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             FLOOR(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0)
+                   * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n)
+    SELECT doc_id, tok, tfidf,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, tok) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 3
+"""
+
+
+ENTRIES: list[tuple] = [
+    ("dedup_components", q_dedup_components, _COMPONENTS_ORACLE),
+    ("pack_sequences", q_pack_sequences, _PACK_ORACLE),
+    ("sample_stratified", q_sample_stratified, _sample_oracle()),
+    ("tfidf_topk", q_tfidf_topk, _TFIDF_ORACLE),
+]

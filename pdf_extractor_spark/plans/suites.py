@@ -752,6 +752,13 @@ def registry() -> tuple[
     add("mm_media_features", q_mm_media_features)  # rows-only (zlib payloads)
     add("mm_plan_suite", q_mm_plan_suite, _MM_PLAN_ORACLE)
 
+    # -- round-2 training-data pipeline extras (components / packing /
+    # stratified sampling / tf-idf)
+    from . import llm_extras
+
+    for name, fn, sql in llm_extras.ENTRIES:
+        add(name, fn, sql)
+
     # -- TPC-H-style SQL parity flagships
     add(
         "tpch_q1_pricing_summary",

@@ -40,6 +40,12 @@ FOOTER_TERMS: tuple[str, ...] = (
     "fees charged",
 )
 
+# single compiled alternation == `any(t in low for t in FOOTER_TERMS)` but
+# one C-level scan instead of ~22 Python substring probes per line (the
+# footer check runs once per line of every statement turn — it showed up as
+# the single hottest call in the extraction profile)
+_FOOTER_RE = re.compile("|".join(re.escape(t) for t in FOOTER_TERMS))
+
 # chase_checking.py:86-90 section markers stripped before assembly
 SECTION_MARKERS = re.compile(
     r"^\*start\*.*|^\*end\*.*|CHECKING SUMMARY|TRANSACTION DETAIL|SUMMARY OF"
@@ -52,8 +58,7 @@ _WORD = re.compile(r"[A-Za-z]{2,}")
 
 def is_footer_line(line: str) -> bool:
     """P6: line contains any footer term (case-insensitive substring)."""
-    low = line.lower()
-    return any(t in low for t in FOOTER_TERMS)
+    return _FOOTER_RE.search(line.lower()) is not None
 
 
 def is_section_marker(line: str) -> bool:
