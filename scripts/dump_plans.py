@@ -11,50 +11,84 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-NOTES = {
-    "tpch_q1_pricing_summary": (
-        "partial aggregation: HashAggregate appears twice (map-side partial, "
-        "then final after the one shuffle on the group keys); scan reads only "
-        "the 6 needed columns with the shipdate filter pushed down."
-    ),
-    "tpch_q3_shipping": (
-        "both dimension sides broadcast (no SortMergeJoin anywhere); the fact "
-        "table is scanned once with 3-column pruning; top-10 is a "
-        "TakeOrderedAndProject, not a global sort."
-    ),
-    "p4_amount_threshold": (
-        "predicate reaches the parquet scan as PushedFilters; ReadSchema "
-        "carries exactly the 2 projected columns."
-    ),
-    "dedup_minhash_lsh": (
-        "signatures are computed in the scan stage projection (no shuffle); "
-        "the only exchanges hash tiny (band_id, key, id) rows; the Jaccard "
-        "verify joins token arrays back on ids."
-    ),
-}
+
+def _audited():
+    """(name, callable, note) — production implementations, referenced
+    directly (the gate registry wraps several of these into suites)."""
+    from pdf_extractor_spark.plans import catalog, catalog_ext, llm_extras, suites
+
+    return [
+        (
+            "tpch_q1_pricing_summary",
+            catalog.q_tpch_q1_pricing_summary,
+            "partial aggregation: HashAggregate appears twice (map-side "
+            "partial, then final after the one shuffle on the group keys); "
+            "scan reads only the 6 needed columns with the shipdate filter "
+            "pushed down.",
+        ),
+        (
+            "tpch_q3_shipping",
+            catalog.q_tpch_q3_shipping,
+            "both dimension sides broadcast (no SortMergeJoin anywhere); the "
+            "fact table is scanned once with 3-column pruning; top-10 is a "
+            "TakeOrderedAndProject, not a global sort.",
+        ),
+        (
+            "p4_amount_threshold",
+            catalog.q_p4_amount_threshold,
+            "predicate reaches the parquet scan as PushedFilters; ReadSchema "
+            "carries exactly the 2 projected columns.",
+        ),
+        (
+            "dedup_minhash_lsh",
+            catalog_ext.q_dedup_minhash_lsh,
+            "signatures are computed in the scan stage projection (no "
+            "shuffle); the only exchanges hash tiny (band_id, key, id) rows; "
+            "the Jaccard verify joins token arrays back on ids.",
+        ),
+        (
+            "w2_w3_w4_w6_window_suite",
+            suites.q_window_suite,
+            "four window operators (forward-fill, block id, lead, "
+            "sessionize) share ONE window spec: exactly one Exchange "
+            "hashpartitioning(user_id) feeds the whole Window stack — the "
+            "single-shuffle shape the suite exists to prove.",
+        ),
+        (
+            "pack_sequences",
+            llm_extras.q_pack_sequences,
+            "token-budget binning is one Exchange on the stratum key plus a "
+            "running-sum Window; no join, no second shuffle.",
+        ),
+        (
+            "sample_stratified",
+            llm_extras.q_sample_stratified,
+            "deterministic hash sampling is a pure narrow projection over "
+            "the scan — zero exchanges; the keep decision never moves data.",
+        ),
+    ]
+
 
 HEADER = """# PLANS — physical-plan audit (captured from `.explain("formatted")`)
 
 Evidence that the catalog queries produce the plans the 100 TB design calls
 for. Regenerate with `python scripts/dump_plans.py`. Regression-guarded by
 `tests/test_validate_and_plans.py` (pushdown, pruning, broadcast, no shuffle
-in extraction, small LSH join keys).
+in extraction, small LSH join keys, single-exchange window suite).
 
 """
 
 
 def main() -> None:
-    import __spark_entry__ as entrymod
     from pdf_extractor_spark.session import get_spark
 
     spark = get_spark(master="local[4]")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = entrymod.queries()
     sections = []
-    for name, note in NOTES.items():
+    for name, fn, note in _audited():
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
-            qs[name](spark, "/root/testdata/sf0.01").explain("formatted")
+            fn(spark, "/root/testdata/sf0.01").explain("formatted")
         lines = buf.getvalue().splitlines()
         tree_end = next((i for i, l in enumerate(lines) if not l.strip()), len(lines))
         tree = "\n".join(lines[:tree_end])

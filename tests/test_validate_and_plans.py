@@ -78,3 +78,28 @@ def test_minhash_join_keys_are_small(spark):
         catalog_ext.q_dedup_minhash_lsh(spark, SF).explain("formatted")
     p = buf.getvalue()
     assert "band_id" in p and "key" in p
+
+
+def test_window_suite_single_exchange(spark):
+    # four window ops over one spec must plan exactly ONE shuffle
+    from pdf_extractor_spark.plans import suites
+
+    import re
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        suites.q_window_suite(spark, SF).explain("formatted")
+    p = buf.getvalue()
+    # formatted output repeats each node in the detail section: count the
+    # "(n) Exchange" node headers, not raw substring occurrences
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_sample_stratified_is_narrow(spark):
+    # deterministic hash sampling must not move data
+    from pdf_extractor_spark.plans import llm_extras
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        llm_extras.q_sample_stratified(spark, SF).explain("formatted")
+    assert "Exchange" not in buf.getvalue()
