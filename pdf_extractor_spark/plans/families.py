@@ -220,10 +220,14 @@ _AMAZON_INVOICE_ORACLE = r"""
 # ---------------------------------------------------------------------------
 
 def q_p1_projection_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two families driven off the PROJECTION_MAPS table by the one generic
-    engine (plans/projection.py): first_republic_bank (with the declarative
-    INTEREST CREDIT conditional, config.py:368-373) and capitalone_csv
-    (renames + literals). Union on the core schema."""
+    """Entry-point-B composition (SURVEY §3.2, transaction_normalizer.py:
+    115-379): two families driven off the PROJECTION_MAPS table by the one
+    generic engine (plans/projection.py) — first_republic_bank (with the
+    declarative INTEREST CREDIT conditional, config.py:368-373) and
+    capitalone_csv (renames + literals) — then A1 union on the core schema,
+    P5 validity/quarantine flags, and the R21 sequential id over the explicit
+    (variant, account_number) total order: the whole normalize lifecycle as
+    one verified query."""
     from .projection import apply_projection_map
 
     orders = _t(spark, sf_dir, "orders")
@@ -254,7 +258,10 @@ def q_p1_projection_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cap_frame = orders.select(
-        F.date_format("o_orderdate", "yyyy-MM-dd").alias("transaction_date"),
+        # every 11th row loses its date -> exercises the quarantine branch
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .alias("transaction_date"),
         F.col("o_orderpriority").alias("description"),
         amount.alias("amount"),
         F.concat(F.lit("cap_"), F.col("o_orderkey").cast("string")).alias("source_file"),
@@ -266,7 +273,22 @@ def q_p1_projection_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transaction_date", "description", "amount", "transaction_type",
         "account_number", "file_path",
     )
-    return fr.unionByName(cap)
+    unioned = fr.unionByName(cap)
+    # P5 validity (transaction_normalizer.py:41-65) over the mapped frame
+    valid = (
+        F.col("transaction_date").isNotNull()
+        & (F.length(F.coalesce("description", F.lit(""))) > 0)
+        & F.col("amount").isNotNull()
+    )
+    w = Window.orderBy("variant", F.col("account_number").cast("long"))
+    return unioned.select(
+        "*",
+        valid.alias("valid"),
+        F.when(F.col("transaction_date").isNull(), F.lit("missing_or_unparseable_date"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("problem_reason"),
+        F.row_number().over(w).cast("long").alias("seq_id"),
+    )
 
 
 _P1_ORACLE = """
@@ -286,13 +308,23 @@ _P1_ORACLE = """
              'fr_' || CAST(o_orderkey AS VARCHAR) AS file_path
       FROM base),
     cap AS (
-      SELECT 'capitalone_csv' AS variant, od AS transaction_date,
+      SELECT 'capitalone_csv' AS variant,
+             CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE od END AS transaction_date,
              o_orderpriority AS description, amount,
              'debit' AS transaction_type,
              CAST(o_orderkey AS VARCHAR) AS account_number,
              'cap_' || CAST(o_orderkey AS VARCHAR) AS file_path
-      FROM base)
-    SELECT * FROM fr UNION ALL SELECT * FROM cap
+      FROM base),
+    u AS (SELECT * FROM fr UNION ALL SELECT * FROM cap)
+    SELECT *,
+           (transaction_date IS NOT NULL
+            AND length(COALESCE(description, '')) > 0
+            AND amount IS NOT NULL) AS valid,
+           CASE WHEN transaction_date IS NULL
+                THEN 'missing_or_unparseable_date' END AS problem_reason,
+           CAST(row_number() OVER (
+             ORDER BY variant, CAST(account_number AS BIGINT)) AS BIGINT) AS seq_id
+    FROM u
 """
 
 
@@ -408,9 +440,137 @@ _R18_BLOCK_ORACLE = r"""
 """
 
 
+# ---------------------------------------------------------------------------
+# organizer manifest ladder (entry-point D, SURVEY §3.4)
+# ---------------------------------------------------------------------------
+
+def q_organizer_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-point-D deterministic skeleton (organizer_extractor.py:540-658 +
+    clean_manifest.py): per-page manifest rows matched against the TOC by the
+    exact-key join FIRST (lower/trim, :719-743), then the token-sort fuzzy
+    top-1 at threshold 0.8 (:603-658) for the unmatched remainder —
+    matching_method enum 'exact'|'fuzzy'|'none'; has_prefilled from the P8
+    term predicate; priority is the reference's non-LLM default 'medium'
+    (the LLM leaf is out of deterministic scope)."""
+    from ..functions.text import levenshtein_ratio, token_sort_key
+
+    part = _t(spark, sf_dir, "part")
+    toc = F.broadcast(
+        part.where(F.col("p_partkey") < 40).select(
+            F.col("p_partkey").alias("toc_id"), F.col("p_name").alias("title")
+        )
+    )
+    base = part.where((F.col("p_partkey") >= 40) & (F.col("p_partkey") < 400))
+    # label: 1/3 exact TOC copy, 1/3 token-shuffled TOC title (exact fails,
+    # token-sort fuzzy hits 1.0), 1/3 the page's own unrelated name
+    shuffled = F.concat(
+        F.element_at(F.split(F.col("t_title"), " "), -1),
+        F.lit(" "),
+        F.array_join(F.slice(F.split(F.col("t_title"), " "), 1, 2), " "),
+    )
+    pages = (
+        base.join(
+            toc.select(F.col("toc_id").alias("src_id"), F.col("title").alias("t_title")),
+            F.pmod(F.col("p_partkey"), F.lit(40)) == F.col("src_id"),
+            "left",
+        )
+        .select(
+            F.col("p_partkey").alias("page_id"),
+            F.when(F.col("p_partkey") % 3 == 0, F.col("t_title"))
+            .when(F.col("p_partkey") % 3 == 1, shuffled)
+            .otherwise(F.col("p_name"))
+            .alias("label"),
+        )
+    )
+    exact = pages.join(
+        toc, F.lower(F.trim(F.col("label"))) == F.lower(F.trim(F.col("title"))), "left"
+    ).groupBy("page_id", "label").agg(F.min("title").alias("exact_title"))
+    matched = exact.where(F.col("exact_title").isNotNull()).select(
+        "page_id", "label",
+        F.col("exact_title").alias("matched_title"),
+        F.lit("exact").alias("match_method"),
+        F.lit(1.0).alias("match_ratio"),
+    )
+    rest = exact.where(F.col("exact_title").isNull()).select("page_id", "label")
+    scored = rest.crossJoin(toc).select(
+        "page_id", "label", "title",
+        levenshtein_ratio(
+            token_sort_key(F.col("label")), token_sort_key(F.col("title"))
+        ).alias("ratio"),
+    )
+    w = Window.partitionBy("page_id").orderBy(F.col("ratio").desc(), F.col("title"))
+    top1 = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    fuzzy = top1.select(
+        "page_id", "label",
+        F.when(F.col("ratio") >= 0.8, F.col("title")).otherwise(F.lit("<none>")).alias("matched_title"),
+        F.when(F.col("ratio") >= 0.8, F.lit("fuzzy")).otherwise(F.lit("none")).alias("match_method"),
+        F.when(F.col("ratio") >= 0.8, F.col("ratio")).otherwise(F.lit(-1.0)).alias("match_ratio"),
+    )
+    manifest = matched.unionByName(fuzzy)
+    prefilled = F.pmod(F.col("page_id"), F.lit(3)) == 0
+    return manifest.select(
+        "page_id", "label", "matched_title", "match_method", "match_ratio",
+        prefilled.alias("has_prefilled"),
+        F.lit("medium").alias("priority"),
+    )
+
+
+_TOKSORT = "array_to_string(list_sort(string_split(lower({x}), ' ')), ' ')"
+
+_ORGANIZER_ORACLE = f"""
+    WITH toc AS (
+      SELECT p_partkey AS toc_id, p_name AS title FROM part WHERE p_partkey < 40),
+    base AS (
+      SELECT p_partkey, p_name FROM part WHERE p_partkey >= 40 AND p_partkey < 400),
+    pages AS (
+      SELECT b.p_partkey AS page_id,
+             CASE WHEN b.p_partkey % 3 = 0 THEN t.title
+                  WHEN b.p_partkey % 3 = 1 THEN
+                    string_split(t.title, ' ')[-1] || ' '
+                      || array_to_string(string_split(t.title, ' ')[1:2], ' ')
+                  ELSE b.p_name END AS label
+      FROM base b LEFT JOIN toc t ON b.p_partkey % 40 = t.toc_id),
+    exact AS (
+      SELECT p.page_id, p.label, MIN(t.title) AS exact_title
+      FROM pages p LEFT JOIN toc t
+        ON lower(trim(p.label)) = lower(trim(t.title))
+      GROUP BY p.page_id, p.label),
+    matched AS (
+      SELECT page_id, label, exact_title AS matched_title,
+             'exact' AS match_method, 1.0 AS match_ratio
+      FROM exact WHERE exact_title IS NOT NULL),
+    rest AS (SELECT page_id, label FROM exact WHERE exact_title IS NULL),
+    scored AS (
+      SELECT r.page_id, r.label, t.title,
+             FLOOR((1.0 - levenshtein({_TOKSORT.format(x='r.label')},
+                                      {_TOKSORT.format(x='t.title')})::DOUBLE
+                    / greatest(length({_TOKSORT.format(x='r.label')})
+                               + length({_TOKSORT.format(x='t.title')}), 1))
+                   * 10000 + 0.5) / 10000.0 AS ratio
+      FROM rest r CROSS JOIN toc t),
+    top1 AS (
+      SELECT page_id, label, title, ratio
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY page_id
+                                 ORDER BY ratio DESC, title) = 1),
+    fuzzy AS (
+      SELECT page_id, label,
+             CASE WHEN ratio >= 0.8 THEN title ELSE '<none>' END AS matched_title,
+             CASE WHEN ratio >= 0.8 THEN 'fuzzy' ELSE 'none' END AS match_method,
+             CASE WHEN ratio >= 0.8 THEN ratio ELSE -1.0 END AS match_ratio
+      FROM top1),
+    manifest AS (SELECT * FROM matched UNION ALL SELECT * FROM fuzzy)
+    SELECT page_id, label, matched_title, match_method, match_ratio,
+           (page_id % 3 = 0) AS has_prefilled,
+           'medium' AS priority
+    FROM manifest
+"""
+
+
 ENTRIES: list[tuple] = [
     ("family_statement_suite", q_family_statement_suite, _FAMILY_SUITE_ORACLE),
     ("amazon_invoice_fields", q_amazon_invoice_fields, _AMAZON_INVOICE_ORACLE),
     ("p1_projection_map", q_p1_projection_map, _P1_ORACLE),
     ("r18_address_block", q_r18_address_block, _R18_BLOCK_ORACLE),
+    ("organizer_manifest", q_organizer_manifest, _ORGANIZER_ORACLE),
 ]

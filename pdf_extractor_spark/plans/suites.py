@@ -411,6 +411,40 @@ _TEXT_FEATURES_ORACLE = _compose_join(
 # tag-union suites (same-shaped outputs)
 # ---------------------------------------------------------------------------
 
+def q_a1_a2_counts_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 union-all consolidation + A2 per-source counts (SURVEY §2.6),
+    melted to (variant, k1, k2, n)."""
+    a1 = catalog.q_a1_union_consolidation(spark, sf_dir).select(
+        F.lit("union_consolidation").alias("variant"),
+        F.col("source").alias("k1"),
+        F.col("o_orderstatus").alias("k2"),
+        F.col("n_rows").alias("n"),
+    )
+    a2 = catalog.q_a2_counts_per_source(spark, sf_dir).select(
+        F.lit("counts_per_source").alias("variant"),
+        F.col("source").alias("k1"),
+        F.col("lang").alias("k2"),
+        F.col("n_docs").alias("n"),
+    )
+    return a1.unionByName(a2)
+
+
+_A1_A2_ORACLE = _compose_union(
+    [
+        (
+            "union_consolidation",
+            catalog._ORACLES["a1_union_consolidation"],
+            "source AS k1, o_orderstatus AS k2, n_rows AS n",
+        ),
+        (
+            "counts_per_source",
+            catalog._ORACLES["a2_counts_per_source"],
+            "source AS k1, lang AS k2, n_docs AS n",
+        ),
+    ]
+)
+
+
 def q_dedup_jaccard_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-token + char-trigram Jaccard near-dup pairs, tagged."""
     uni = catalog.q_dedup_unigram_jaccard(spark, sf_dir).select(
@@ -704,20 +738,10 @@ def registry() -> tuple[
         catalog_ext.q_j2_fuzzy_topk,
         catalog_ext.ORACLES_EXT["j2_fuzzy_topk"],
     )
-    add("j2_fuzzy_indel_topk", catalog_ext.q_j2_fuzzy_indel_topk)  # rows-only (DP)
     add("j6_asof_join", catalog_ext2.q_j6_asof_join, catalog_ext2._J6_ORACLE)
     add("j7_range_join", catalog_ext2.q_j7_range_join, catalog_ext2._J7_ORACLE)
     add("o3_top1_per_key", catalog.q_o3_top1_per_key, catalog._ORACLES["o3_top1_per_key"])
-    add(
-        "a1_union_consolidation",
-        catalog.q_a1_union_consolidation,
-        catalog._ORACLES["a1_union_consolidation"],
-    )
-    add(
-        "a2_counts_per_source",
-        catalog.q_a2_counts_per_source,
-        catalog._ORACLES["a2_counts_per_source"],
-    )
+    add("a1_a2_counts_suite", q_a1_a2_counts_suite, _A1_A2_ORACLE)
     add("a3_group_totals", catalog.q_a3_group_totals, catalog._ORACLES["a3_group_totals"])
     add("a4_minmax_dates", catalog.q_a4_minmax_dates, catalog._ORACLES["a4_minmax_dates"])
     add("a5_dedup_exact", catalog.q_a5_dedup_exact, catalog._ORACLES["a5_dedup_exact"])
@@ -785,4 +809,7 @@ def registry() -> tuple[
         catalog_ext.q_set_intersect_except,
         catalog_ext.ORACLES_EXT["set_intersect_except"],
     )
+    # rows-only (LCS DP has no SQL mirror; pinned by tests/test_fuzzy_indel.py
+    # against an independent DP oracle) — parked past the verify window
+    add("j2_fuzzy_indel_topk", catalog_ext.q_j2_fuzzy_indel_topk)
     return q, o
