@@ -72,11 +72,19 @@ def _bench_transcripts(spark, sf_dir: str, n_convs: int | None = None):
     """Deterministic synthetic transcript corpus sized to the sf (seed=42),
     generated distributed once and cached as parquet so every run (and both
     scaling parallelism levels) reads identical bytes."""
+    import hashlib
+    import inspect
+
+    from pdf_extractor_spark.sources import synth
     from pdf_extractor_spark.sources.synth import generate_transcripts_distributed
 
     if n_convs is None:
         n_convs = max(250, int(250_000 * _sf_of(sf_dir)))  # sf0.1 -> 25k convs (~400k turns)
-    path = _REPO / ".cache" / f"transcripts_c{n_convs}_s42.parquet"
+    # cache key includes a hash of the generator module source: adding or
+    # changing a payload family regenerates the corpus instead of silently
+    # benchmarking stale bytes
+    gen_h = hashlib.md5(inspect.getsource(synth).encode()).hexdigest()[:8]
+    path = _REPO / ".cache" / f"transcripts_c{n_convs}_s42_{gen_h}.parquet"
     if not path.exists():
         # many small files -> ~0.5s tasks: smooth scheduling (no wave
         # quantization / straggler tail) at every parallelism level
