@@ -32,39 +32,43 @@ def asof_join(
     ts: str,
     right_value_cols: list[str],
 ) -> DataFrame:
-    """Returns left columns + asof_<col> for each right value column."""
+    """Returns left columns + asof_<col> for each right value column.
+
+    The right payload forward-fills as ONE struct (not per-column): per-column
+    ``last(ignorenulls)`` would stitch fields from DIFFERENT right rows
+    whenever a later row carries a null field, synthesizing a row that never
+    existed. The struct is also the tertiary sort key, so at duplicate
+    (key, ts) on the right the greatest payload tuple wins — a total order,
+    deterministic across runs/partitionings (pandas merge_asof's "last in
+    input order" has no distributed equivalent; this is the documented
+    contract instead)."""
     left_extra = [c for c in left.columns if c not in (key, ts)]
-    l_types, r_types = dict(left.dtypes), dict(right.dtypes)
-    l_tag = left.select(
-        key,
-        ts,
-        F.lit(1).alias("_side"),
-        *[F.col(c) for c in left_extra],
-        *[F.lit(None).cast(r_types[c]).alias(f"_rv_{c}") for c in right_value_cols],
-    )
+    l_types = dict(left.dtypes)
+    r_struct = F.struct(*[F.col(c) for c in right_value_cols])
     r_tag = right.select(
         key,
         ts,
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(l_types[c]).alias(c) for c in left_extra],
-        *[F.col(c).alias(f"_rv_{c}") for c in right_value_cols],
+        r_struct.alias("_rv"),
+    )
+    l_tag = left.select(
+        key,
+        ts,
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left_extra],
+        F.lit(None).cast(r_tag.schema["_rv"].dataType).alias("_rv"),
     )
     u = l_tag.unionByName(r_tag)
-    # tertiary sort on the right payload columns: if the right side has
-    # several rows at the same (key, ts), the greatest payload tuple wins —
-    # a total order, so the forward-filled match is deterministic across
-    # runs/partitionings (pandas merge_asof's "last in input order" has no
-    # distributed equivalent; this is the documented contract instead)
-    w = Window.partitionBy(key).orderBy(
-        ts, "_side", *[F.col(f"_rv_{c}") for c in right_value_cols]
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    filled = u.select(
-        "*",
-        *[
-            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in right_value_cols
-        ],
+    w = Window.partitionBy(key).orderBy(ts, "_side", "_rv").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    return filled.where(F.col("_side") == 1).drop(
-        "_side", *[f"_rv_{c}" for c in right_value_cols]
+    filled = u.select("*", F.last("_rv", ignorenulls=True).over(w).alias("_asof"))
+    return (
+        filled.where(F.col("_side") == 1)
+        .select(
+            "*",
+            *[F.col("_asof")[c].alias(f"asof_{c}") for c in right_value_cols],
+        )
+        .drop("_side", "_rv", "_asof")
     )

@@ -114,9 +114,14 @@ def run_incremental(
     counts. Safe to call repeatedly / after a crash at any point."""
     # the pending set stays a DataFrame end-to-end: at ~10^6 input files a
     # collect()+isin would be a driver-side list and a million-element In
-    # expression in the plan; a broadcast left-semi join is the scale shape
-    pend_df = pending_files(spark, input_dir, lineage_dir)
-    n_files = pend_df.count()  # tiny relation (one row per file)
+    # expression in the plan; a broadcast left-semi join is the scale shape.
+    # localCheckpoint (NOT cache): it materializes the tiny relation ONCE and
+    # cuts the lineage-table read out of its plan. With a plain cache, the
+    # lineage append below invalidates-and-recomputes every cached plan that
+    # reads lineage_dir (CacheManager.recacheByPath), so any post-commit
+    # evaluation would see an EMPTY pending set and report zero rows.
+    pend_df = pending_files(spark, input_dir, lineage_dir).localCheckpoint(eager=True)
+    n_files = pend_df.count()
     if n_files == 0:
         return {"files": 0, "rows": 0}
 
@@ -151,10 +156,14 @@ def run_incremental(
             ).alias("rule_hit_metrics")
         )
     )
+    # snapshot the per-file stats too (one row per pending file): the
+    # summary agg and the lineage-row build must both read the SAME
+    # materialized values, evaluated BEFORE the lineage commit
     stats = out.groupBy("src_key").agg(
         F.count("*").alias("row_count"),
         F.sum(F.col("valid").cast("long")).alias("valid_count"),
-    )
+    ).localCheckpoint(eager=True)
+    n_rows = stats.agg(F.sum("row_count")).collect()[0][0] or 0
     lineage = (
         stats.join(hits, "src_key", "left")
         .select(
@@ -172,7 +181,6 @@ def run_incremental(
         )
     )
     lineage.write.mode("append").parquet(lineage_dir)
-    n_rows = stats.agg(F.sum("row_count")).collect()[0][0] or 0
     return {"files": n_files, "rows": int(n_rows)}
 
 

@@ -60,8 +60,15 @@ def with_sequential_id_distributed(
         ranged = df.repartitionByRange(num_partitions, *cols)
     else:
         ranged = df.repartitionByRange(*cols)
-    part = ranged.sortWithinPartitions(*cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # localCheckpoint PINS one range partitioning: the counts branch and the
+    # final row_number branch both read the materialized partitions, so the
+    # correctness of the offsets cannot depend on Spark's exchange-reuse rule
+    # collapsing two independently-sampled repartitionByRange subtrees
+    # (range-boundary sampling is documented as not necessarily consistent).
+    part = (
+        ranged.sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     counts = part.groupBy("_pid").count()
     woff = Window.orderBy("_pid").rowsBetween(
@@ -73,8 +80,10 @@ def with_sequential_id_distributed(
     wlocal = Window.partitionBy("_pid").orderBy(*cols)
     return (
         part.join(F.broadcast(offsets), "_pid")
+        # long, not int: the distributed variant exists for row counts the
+        # single-reducer window can't reach — int32 would overflow there
         .withColumn(
-            "seq_id", (F.row_number().over(wlocal) + F.col("_offset")).cast("int")
+            "seq_id", (F.row_number().over(wlocal) + F.col("_offset")).cast("long")
         )
         .drop("_pid", "_offset")
     )

@@ -751,16 +751,14 @@ def registry() -> tuple[
         catalog._ORACLES["st1_resume_antijoin"],
     )
 
-    # -- round-2 parity families land here (apple card / bofa visa / amazon
-    # invoice / P1 projection maps / R18 composition) — appended by
-    # plans.families when implemented
-    try:
-        from . import families
+    # -- round-2 parity families (apple card / bofa visa / amazon invoice /
+    # P1 normalize pipeline / R18 composition / organizer ladder). Import
+    # fails LOUDLY: a broken families module silently shrinking the verify
+    # window would be invisible to every other test
+    from . import families
 
-        for name, fn, sql in families.ENTRIES:
-            add(name, fn, sql)
-    except ImportError:
-        pass
+    for name, fn, sql in families.ENTRIES:
+        add(name, fn, sql)
 
     # -- LLM-training-data pipeline ops
     add("text_features_suite", q_text_features_suite, _TEXT_FEATURES_ORACLE)

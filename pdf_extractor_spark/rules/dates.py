@@ -153,29 +153,39 @@ def extract_statement_period(text: str) -> tuple[str | None, str | None, str]:
             end = _safe_date(int(m.group(6)), _MONTHS[m.group(4)], int(m.group(5)))
             if start or end:
                 return start, end, "content"
-    # last rung (utils/utils.py:157-166): the 40 chars after 'through' fed to
-    # dateutil fuzzy parse -> end date only. DELIBERATE DEVIATION: the
-    # reference's bare parse(fuzzy=True) defaults missing fields to TODAY,
-    # which is non-reproducible; we pin default=1900-01-01 and treat a
-    # default-year result as no-date, keeping the rung deterministic.
-    end = _fuzzy_after_through(text)
-    if end:
-        return None, end, "content_fuzzy"
     m = _CLOSING_DATE.search(text)
     if m:
         end = parse_date(m.group(1))
         if end:
             return None, end, "content"
+    # TRULY last rung (utils/utils.py:157-166): the 40 chars after 'through'
+    # fed to dateutil fuzzy parse -> end date only. DELIBERATE DEVIATIONS
+    # from the reference: (a) it runs after every precise rung including the
+    # closing-date one, so boilerplate like 'offer valid through January'
+    # cannot shadow a real Statement Closing Date; (b) the reference's bare
+    # parse(fuzzy=True) defaults missing fields to TODAY, which is
+    # non-reproducible — we parse against two different pinned defaults and
+    # accept only when year, month AND day were all actually present in the
+    # snippet (both parses agree).
+    end = _fuzzy_after_through(text)
+    if end:
+        return None, end, "content_fuzzy"
     return None, None, "none"
 
 
-_FUZZY_DEFAULT = _dt.datetime(1900, 1, 1)
+# two distinct pinned defaults: a field that differs between the two parse
+# results was defaulted (absent from the snippet), not parsed
+_FUZZY_DEFAULT_A = _dt.datetime(1900, 1, 1)
+_FUZZY_DEFAULT_B = _dt.datetime(1904, 2, 2)
 
 
 def _fuzzy_after_through(text: str) -> str | None:
     """R9 fuzzy rung (utils/utils.py:157-166): dateutil fuzzy parse of the 40
-    chars after the first 'through'. Pure Python — this is exactly the rule
-    the pandas-UDF tier exists for (no SQL mirror, SURVEY §7.8 #1)."""
+    chars after the first 'through'. Accepts only FULLY specified dates
+    (year+month+day present): parsing twice with different defaults and
+    requiring agreement rejects snippets where dateutil silently filled any
+    field. Pure Python — exactly the rule the pandas-UDF tier exists for
+    (no SQL mirror, SURVEY §7.8 #1)."""
     idx = text.find("through")
     if idx == -1:
         return None
@@ -183,12 +193,13 @@ def _fuzzy_after_through(text: str) -> str | None:
     try:
         from dateutil import parser as _du
 
-        d = _du.parse(after, fuzzy=True, default=_FUZZY_DEFAULT)
+        da = _du.parse(after, fuzzy=True, default=_FUZZY_DEFAULT_A)
+        db = _du.parse(after, fuzzy=True, default=_FUZZY_DEFAULT_B)
     except (ValueError, OverflowError):
         return None
-    if d.year == _FUZZY_DEFAULT.year:  # no real year found in the snippet
+    if (da.year, da.month, da.day) != (db.year, db.month, db.day):
         return None
-    return d.date().isoformat()
+    return da.date().isoformat()
 
 
 def date_from_filename(name: str) -> str | None:

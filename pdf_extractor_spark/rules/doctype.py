@@ -73,7 +73,10 @@ def detect_family(text: str) -> str:
         return "amazon_invoice"  # can_parse, amazon_invoice_pdf_parser.py:33-42
     if "order placed:" in low:
         return "amazon_order"
-    if "transaction date" in low and "clearing date" in low and "amount (usd)" in low:
+    # comma-adjacent header cells, not loose substrings: prose mentioning the
+    # column names must not be routed to a CSV family whose extractor then
+    # finds no header line and silently drops every record
+    if "transaction date,clearing date" in low and "amount (usd)" in low:
         return "csv_apple_card"  # header set, apple_card_csv_parser.py:122-135
     if _CSV_CAPONE_HEADER.lower() in low:
         return "csv_capitalone"

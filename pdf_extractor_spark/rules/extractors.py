@@ -677,14 +677,21 @@ def extract_bofa_visa(text: str) -> ExtractResult:
         _hit(hits, "r10_date_from_filename")
     started = False
     rows: list[tuple[str, Record]] = []
-    for ln in split_lines(text):
-        if "Purchases and Adjustments" in ln.text:
+    # RAW lines, not split_lines: the reference matches unstripped lines
+    # (bofa_visa_parser.py:98-103), and the row regex's optional amount
+    # group only engages when trailing whitespace survives — stripping
+    # would silently drop exactly the rows P5 is meant to quarantine
+    pos = 0
+    for raw in text.split("\n"):
+        ln_start, ln_len = pos, len(raw)
+        pos += ln_len + 1
+        if "Purchases and Adjustments" in raw:
             started = True
             _hit(hits, "t2_section_flag")
             continue
         if not started:
             continue
-        rm = _BOFA_VISA_ROW.match(ln.text)
+        rm = _BOFA_VISA_ROW.match(raw)
         if not rm:
             continue
         mmdd, _post, desc_raw, _ref, _acct, amt_raw = rm.groups()
@@ -698,9 +705,11 @@ def extract_bofa_visa(text: str) -> ExtractResult:
             iso = None
         amt = clean_amount(amt_raw)
         desc = TN.normalize_description(desc_raw)
-        rec = Record(iso, amt, desc, None, ln.start, ln.end)
+        rec = Record(iso, amt, desc, None, ln_start, ln_start + len(raw.rstrip()))
         rows.append((f"{mm:02d}/{dd:02d}/{iso[:4] if iso else '0000'}", rec))
         _hit(hits, "r2_bofa_visa_row")
+        if amt is None:
+            _hit(hits, "p5_missing_amount_row")
     # sort_values on the MM/DD/YYYY string column (bofa_visa_parser.py:156):
     # lexicographic on (month, day, year) — stable here, ties keep scan order
     rows.sort(key=lambda t: t[0])

@@ -190,8 +190,10 @@ def find_name_address(text: str) -> tuple[str | None, str | None]:
     ``\\d{5}(-\\d{4})?`` — plus ALL-CAPS name runs collected from the 10 lines
     ABOVE the street line, with customer-service phrases stripped, skip-set
     headers excluded, and single-word runs rejected. Returns (name, address)."""
+    from .textnorm import collapse_whitespace
+
     raw = [ln for ln in (s.strip() for s in text.split("\n")) if ln]
-    cleaned = [re.sub(r"\s+", " ", ln.replace("\xa0", " ")).strip() for ln in raw]
+    cleaned = [collapse_whitespace(ln) for ln in raw]  # R14, chase_checking.py:335-337
     address = None
     address_idx = None
     for idx in range(len(cleaned) - 1):

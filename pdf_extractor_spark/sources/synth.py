@@ -227,8 +227,13 @@ def gen_bofa_visa(rng: random.Random) -> str:
         month = rng.choice((12, 1)) if stmt == "20240115" else 12
         d1, d2 = _mmdd(rng, month), _mmdd(rng, month)
         ref, acct = rng.randint(1000, 9999), rng.randint(1000, 9999)
-        amt = _amt(rng) if rng.random() < 0.85 else ""
-        lines.append(f"{d1} {d2} {_merch(rng)} {ref} {acct} {amt}".rstrip())
+        if rng.random() < 0.85:
+            lines.append(f"{d1} {d2} {_merch(rng)} {ref} {acct} {_amt(rng)}")
+        else:
+            # amount column empty but the trailing separator space survives
+            # (real PDF extractions keep it): the row matches the reference
+            # regex with amount=None and P5 quarantines it downstream
+            lines.append(f"{d1} {d2} {_merch(rng)} {ref} {acct} ")
     return "\n".join(lines)
 
 

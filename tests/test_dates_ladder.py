@@ -90,3 +90,16 @@ def test_fuzzy_through_rung():
         "Statement Period: May 11, 2024 - May 24, 2024\nblah through May 30 2024"
     )
     assert (s, e, src) == ("2024-05-11", "2024-05-24", "content")
+
+
+def test_fuzzy_rung_requires_full_date_and_yields_to_closing():
+    from pdf_extractor_spark.rules.dates import extract_statement_period
+
+    # partial date ('January 2025': day defaulted) -> rejected
+    s, e, src = extract_statement_period("offer valid through January 2025")
+    assert e is None and src == "none"
+    # the precise closing-date rung beats fuzzy boilerplate
+    s, e, src = extract_statement_period(
+        "offer valid through May 30 2024\nStatement Closing Date: 05/24/2024"
+    )
+    assert (e, src) == ("2024-05-24", "content")

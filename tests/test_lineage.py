@@ -61,10 +61,17 @@ def test_crash_resume_reprocesses_only_missing(spark, dirs):
     survivors.write.mode("overwrite").parquet(dirs["lineage"] + "_partial")
     pend = pending_files(spark, dirs["input"], dirs["lineage"] + "_partial")
     assert [r.src_key for r in pend.collect()] == [victim]
+    victim_rows = (
+        spark.read.parquet(dirs["output"]).where(F.col("src_key") == victim).count()
+    )
     summary = run_incremental(
         spark, dirs["input"], dirs["output"], dirs["lineage"] + "_partial", run_id="r3"
     )
     assert summary["files"] == 1
+    # the replay's reported rows must equal the replayed file's output —
+    # a regression here once hid behind files-only assertions (the lineage
+    # append used to invalidate the cached pending set before the summary agg)
+    assert summary["rows"] == victim_rows
     # replay overwrote the victim's partition: still exactly-once overall
     out = spark.read.parquet(dirs["output"])
     assert out.count() == dirs["n_rows"]

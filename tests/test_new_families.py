@@ -144,3 +144,30 @@ def test_new_families_detected_in_synth():
         for gen in (gen_bofa_visa, gen_amazon_invoice, gen_csv_apple_card):
             fams.add(extract_turn(gen(rng)).family)
     assert fams == {"bofa_visa", "amazon_invoice", "csv_apple_card"}
+
+
+def test_bofa_visa_missing_amount_quarantined():
+    """Rows with an empty amount column (trailing separator space kept, as
+    in real PDF extractions) match the reference regex with amount=None and
+    are quarantined by P5 — the optional-group path has live coverage."""
+    t = (
+        "FILE: bofa_visa_20240115.pdf\n"
+        "Purchases and Adjustments\n"
+        "01/05 01/06 HOLIDAY STORE 1111 2222 \n"
+        "01/07 01/08 NEWYEAR SHOP 3333 4444 25.00"
+    )
+    r = extract_turn(t)
+    assert r.family == "bofa_visa"
+    assert r.valid is False
+    assert r.problem_reason == "missing_or_unparseable_amount"
+    assert r.n_records == 1  # only the complete row renders
+
+
+def test_apple_detection_requires_adjacent_headers():
+    """Prose mentioning the column names must NOT route to csv_apple_card
+    (the extractor needs a real one-line header; misrouting drops records)."""
+    prose = (
+        "memo about the transaction date and the clearing date\n"
+        "totals in amount (usd) were reviewed"
+    )
+    assert extract_turn(prose).family != "csv_apple_card"
