@@ -15,6 +15,9 @@ from __future__ import annotations
 import re
 
 _CSV_CAPONE_HEADER = "Transaction Date,Posted Date,Card No.,Description"
+_CAPONE_PRINT_HEADER = re.compile(
+    r"DATE\s+DESC\s*RIPTION\s+CATEGORY\s+CARD\s+AMOUN\s*T", re.IGNORECASE
+)
 _WF_CHECKING_ROW = re.compile(r"^\d{1,2}/\d{1,2}/\d{4},-?[\d.]+,\*,,", re.MULTILINE)
 
 # (family, predicate) in registration order — first match wins.
@@ -34,6 +37,7 @@ DETECTION_ORDER: tuple[str, ...] = (
     "amazon_order",
     "csv_apple_card",
     "csv_capitalone",
+    "capitalone_print",
     "csv_wf_checking",
     "noisy_desc",
     "date_edges",
@@ -80,6 +84,8 @@ def detect_family(text: str) -> str:
         return "csv_apple_card"  # header set, apple_card_csv_parser.py:122-135
     if _CSV_CAPONE_HEADER.lower() in low:
         return "csv_capitalone"
+    if _CAPONE_PRINT_HEADER.search(text):
+        return "capitalone_print"  # capitalone_visa_print_parser.py:83-86
     if _WF_CHECKING_ROW.search(text):
         return "csv_wf_checking"
     if low.startswith("memo "):

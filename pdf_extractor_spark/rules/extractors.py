@@ -793,6 +793,128 @@ def extract_csv_capitalone(text: str) -> ExtractResult:
     return ExtractResult(records, hits, None)
 
 
+# --- capital one visa PRINT (capitalone_visa_print_parser.py:83-171) --------
+
+_CAPONE_PRINT_HEADER = re.compile(
+    r"DATE\s+DESC\s*RIPTION\s+CATEGORY\s+CARD\s+AMOUN\s*T", re.IGNORECASE
+)
+_MONTH_ABBREV_START = re.compile(
+    r"^(Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)\b"
+)
+_CAPONE_PRINT_ROW = re.compile(
+    r"^(?P<date>[A-Za-z]{3,}(?: \d{1,2})?)\s+(?P<desc>.+?)\s+(-?\$?\d*[\d,]*\.\d{2}|-?\$)\.?$"
+)
+_CAPONE_PRINT_AMT_TAIL = re.compile(r"(-?\$?\d*[\d,]*\.\d{2}|-?\$)\.?$")
+_CAPONE_PRINT_DATE_HEAD = re.compile(
+    r"^(Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)\b(?: \d{1,2})?"
+)
+_MONTH_ABBREVS = {
+    m: i + 1
+    for i, m in enumerate(
+        ("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+         "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+    )
+}
+
+
+def _capone_print_clean(line: str) -> str:
+    """T7 per the reference (capitalone_visa_print_parser.py:95-102):
+    printable chars only, nulls dropped, stripped."""
+    return "".join(c for c in line if c.isprintable() and c != "\x00").strip()
+
+
+def extract_capitalone_print(text: str) -> ExtractResult:
+    """Capital One print statement (capitalone_visa_print_parser.py:83-171):
+    header-anchored table start (the regex tolerates in-word splits from PDF
+    extraction: 'DESC RIPTION', 'AMOUN T'), T7 line cleaning, T3 buffering —
+    a new transaction starts at a month-abbreviation line, continuations
+    join the buffer — then the reference's date/desc/amount regex with its
+    amount-at-end fallback; '-$'/empty amounts become None (quarantined by
+    P5). DOCUMENTED EXTENSION: the reference leaves transaction_date as the
+    raw 'Dec 5' string (its normalize_data is a TODO); our pipeline contract
+    is ISO, so the month-abbrev date is resolved against the statement date
+    with the R8 year-boundary repair."""
+    hits: dict[str, int] = {}
+    stmt_year = stmt_month = None
+    sm = _STMT_DATE.search(text)
+    if sm:
+        iso = D.parse_date(sm.group(1))
+        if iso:
+            stmt_year, stmt_month = int(iso[:4]), int(iso[5:7])
+            _hit(hits, "r9_statement_date")
+    hm = _CAPONE_PRINT_HEADER.search(text)
+    if not hm:
+        return ExtractResult([], hits, None)
+    _hit(hits, "t2_table_header")
+    table_off = hm.end()
+    table = text[table_off:]
+
+    # (cleaned_line, start_off, end_off) with offsets into the original text
+    lines: list[tuple[str, int, int]] = []
+    pos = 0
+    for raw in table.split("\n"):
+        cl = _capone_print_clean(raw)
+        if cl:
+            lines.append((cl, table_off + pos, table_off + pos + len(raw)))
+            if cl != raw.strip():
+                _hit(hits, "t7_nonprintable_stripped")
+        pos += len(raw) + 1
+
+    records: list[Record] = []
+
+    def flush(buf: list[tuple[str, int, int]]) -> None:
+        if not buf:
+            return
+        joined = " ".join(cl for cl, _, _ in buf)
+        m = _CAPONE_PRINT_ROW.match(joined)
+        if m:
+            date_raw, desc, amt_raw = m.group("date"), m.group("desc"), m.group(3)
+        else:
+            am = _CAPONE_PRINT_AMT_TAIL.search(joined)
+            dm = _CAPONE_PRINT_DATE_HEAD.match(joined)
+            if not (am and dm):
+                _hit(hits, "p7_unparsed_buffer")
+                return
+            date_raw = dm.group(0).strip()
+            amt_raw = am.group(1)
+            desc = joined[len(date_raw):am.start()].strip()
+            _hit(hits, "t3_fallback_parse")
+        amt_s = amt_raw.replace("$", "").replace(",", "").strip()
+        try:
+            amount = float(amt_s) if amt_s not in ("-", "") else None
+        except ValueError:
+            amount = None
+        parts = date_raw.split()
+        iso = None
+        if (
+            len(parts) == 2
+            and parts[0] in _MONTH_ABBREVS
+            and stmt_year is not None
+            and stmt_month is not None
+        ):
+            iso = D.repair_year_boundary(
+                _MONTH_ABBREVS[parts[0]], int(parts[1]), stmt_year, stmt_month
+            )
+        records.append(
+            Record(
+                iso, amount, TN.normalize_description(desc), None,
+                buf[0][1], buf[-1][2],
+            )
+        )
+        _hit(hits, "t3_buffer_record")
+        if len(buf) > 1:
+            _hit(hits, "t3_continuation", len(buf) - 1)
+
+    buf: list[tuple[str, int, int]] = []
+    for item in lines:
+        if _MONTH_ABBREV_START.match(item[0]):
+            flush(buf)
+            buf = []
+        buf.append(item)
+    flush(buf)
+    return ExtractResult(records, hits, None)
+
+
 # --- wells fargo checking CSV (wellsfargo_checking_csv_parser.py:55-161) ----
 
 _WFCK_ROW = re.compile(r"^(\d{1,2}/\d{1,2}/\d{4}),(-?[\d.]+),\*,(.*?),(.*)$")
@@ -947,6 +1069,7 @@ EXTRACTORS = {
     "bofa_visa": extract_bofa_visa,
     "amazon_invoice": extract_amazon_invoice,
     "csv_apple_card": extract_csv_apple_card,
+    "capitalone_print": extract_capitalone_print,
     "wf_mastercard": extract_wf_mastercard,
     "wf_visa": extract_wf_visa,
     "first_republic": extract_first_republic,

@@ -321,6 +321,36 @@ def gen_csv_capitalone(rng: random.Random) -> str:
     return "\n".join(lines)
 
 
+_MONTH_ABBR = ("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+               "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+
+
+def gen_capitalone_print(rng: random.Random) -> str:
+    """Capital One print statement: split-word table header ('DESC RIPTION'),
+    month-abbrev row starts with continuation buffering, occasional '-$'
+    amount artifacts and null bytes (T7)."""
+    month_i = rng.choice((0, 11))  # Jan or Dec statements (R8 boundary)
+    lines = [
+        "Capital One Visa print statement",
+        f"Statement Date: {'01' if month_i == 0 else '12'}/28/2024",
+        rng.choice(("DATE DESC RIPTION CATEGORY CARD AMOUN T",
+                    "DATE DESCRIPTION CATEGORY CARD AMOUNT")),
+    ]
+    for _ in range(rng.randint(2, 5)):
+        mon = _MONTH_ABBR[month_i if rng.random() < 0.7 else (month_i - 1) % 12]
+        amt = f"${_amt(rng)}" if rng.random() < 0.85 else "-$"
+        nul = "\x00" if rng.random() < 0.2 else ""
+        head = f"{mon} {rng.randint(1, 28)} {_merch(rng)}{nul} Other 1234"
+        if rng.random() < 0.3:
+            # wrapped description: the amount lands on the continuation line,
+            # so the joined buffer still ends in the amount (T3 buffering)
+            lines.append(head)
+            lines.append(f"CONTINUATION MEMBERSHIP RENEWAL {amt}")
+        else:
+            lines.append(f"{head} {amt}")
+    return "\n".join(lines)
+
+
 def gen_csv_wf_checking(rng: random.Random) -> str:
     lines = []
     for _ in range(rng.randint(2, 5)):
@@ -415,6 +445,7 @@ FAMILY_GENERATORS = (
     ("wf_bank_layout", gen_wf_bank_layout),
     ("amazon_order", gen_amazon_order),
     ("csv_capitalone", gen_csv_capitalone),
+    ("capitalone_print", gen_capitalone_print),
     ("csv_wf_checking", gen_csv_wf_checking),
     ("noisy_desc", gen_noisy_desc),
     ("date_edges", gen_date_edges),

@@ -171,3 +171,39 @@ def test_apple_detection_requires_adjacent_headers():
         "totals in amount (usd) were reviewed"
     )
     assert extract_turn(prose).family != "csv_apple_card"
+
+
+CAPONE_PRINT_FIXTURE = (
+    "Capital One Visa\n"
+    "Statement Date: 01/28/2024\n"
+    "DATE DESC RIPTION CATEGORY CARD AMOUN T\n"
+    "junk preamble row\n"
+    "Dec 30 HOLIDAY \x00STORE Other 1234\n"
+    "WRAPPED DESCRIPTION LINE $1,250.00\n"
+    "Jan 5 COFFEE SHOP Other 1234 $4.50\n"
+    "Jan 9 BROKEN ROW Other 1234 -$\n"
+)
+
+
+def test_capitalone_print_buffering_and_boundary():
+    """capitalone_visa_print_parser.py:83-171: header anchor with in-word
+    splits, month-abbrev buffering across wrapped lines, null-byte cleaning,
+    Dec-on-Jan-statement year repair, '-$' amount -> quarantine."""
+    from pdf_extractor_spark.rules.extractors import extract_capitalone_print
+
+    r = extract_capitalone_print(CAPONE_PRINT_FIXTURE)
+    assert [rec.date for rec in r.records] == ["2023-12-30", "2024-01-05", "2024-01-09"]
+    assert r.records[0].amount == 1250.00
+    assert "HOLIDAY STORE" in r.records[0].description  # null byte stripped
+    assert "WRAPPED DESCRIPTION LINE" in r.records[0].description  # T3 join
+    assert r.records[2].amount is None  # '-$' artifact
+    assert r.hits["t3_buffer_record"] == 3
+    assert r.hits["p7_unparsed_buffer"] == 1  # the junk preamble row
+
+
+def test_capitalone_print_detected():
+    from pdf_extractor_spark.rules.oracle import extract_turn
+
+    r = extract_turn(CAPONE_PRINT_FIXTURE)
+    assert r.family == "capitalone_print"
+    assert r.valid is False and r.problem_reason == "missing_or_unparseable_amount"

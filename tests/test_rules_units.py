@@ -31,6 +31,7 @@ def test_detection_order_is_pinned():
         "amazon_order",
         "csv_apple_card",
         "csv_capitalone",
+        "capitalone_print",
         "csv_wf_checking",
         "noisy_desc",
         "date_edges",
