@@ -819,7 +819,10 @@ _MONTH_ABBREVS = {
 
 def _capone_print_clean(line: str) -> str:
     """T7 per the reference (capitalone_visa_print_parser.py:95-102):
-    printable chars only, nulls dropped, stripped."""
+    printable chars only, nulls dropped, stripped. The all-printable common
+    case short-circuits to one C-level check instead of a per-char loop."""
+    if line.isprintable():
+        return line.strip()
     return "".join(c for c in line if c.isprintable() and c != "\x00").strip()
 
 
