@@ -85,6 +85,13 @@ def _bench_transcripts(spark, sf_dir: str, n_convs: int | None = None):
     # benchmarking stale bytes
     gen_h = hashlib.md5(inspect.getsource(synth).encode()).hexdigest()[:8]
     path = _REPO / ".cache" / f"transcripts_c{n_convs}_s42_{gen_h}.parquet"
+    # prune stale corpora for this size (old generator hashes are never
+    # matched again; without this every generator edit strands a corpus)
+    for old in (_REPO / ".cache").glob(f"transcripts_c{n_convs}_s42_*.parquet"):
+        if old != path:
+            import shutil
+
+            shutil.rmtree(old, ignore_errors=True)
     if not path.exists():
         # many small files -> ~0.5s tasks: smooth scheduling (no wave
         # quantization / straggler tail) at every parallelism level
@@ -197,6 +204,12 @@ def _spin(n: int) -> int:
     return x
 
 
+def _warm_worker() -> None:
+    from pdf_extractor_spark.rules.oracle import extract_turn
+
+    extract_turn("warmup 01/02 line $1.00")
+
+
 def _extract_chunk(texts: list[str]) -> int:
     from pdf_extractor_spark.rules.oracle import extract_turn
 
@@ -222,8 +235,10 @@ def _extract_ctrl_eff(lo: int, hi: int, n_texts: int = 150_000) -> dict:
     secs = {}
     for procs in (lo, hi):
         chunks = [texts[i::procs * 4] for i in range(procs * 4)]
-        with mp.Pool(procs) as p:
-            p.map(_extract_chunk, chunks[: procs])  # warm the workers
+        # initializer warms EVERY worker at fork (module import + regex
+        # compilation); a warmup map could leave a worker cold via work
+        # stealing and bill its import cost to the timed region
+        with mp.Pool(procs, initializer=_warm_worker) as p:
             t0 = time.perf_counter()
             p.map(_extract_chunk, chunks)
             secs[procs] = time.perf_counter() - t0

@@ -60,16 +60,22 @@ def with_sequential_id_distributed(
         ranged = df.repartitionByRange(num_partitions, *cols)
     else:
         ranged = df.repartitionByRange(*cols)
-    # localCheckpoint PINS one range partitioning: the counts branch and the
-    # final row_number branch both read the materialized partitions, so the
-    # correctness of the offsets cannot depend on Spark's exchange-reuse rule
-    # collapsing two independently-sampled repartitionByRange subtrees
-    # (range-boundary sampling is documented as not necessarily consistent).
-    part = (
-        ranged.sortWithinPartitions(*cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+    # CHECKPOINT PINS one range partitioning: the counts branch and the
+    # final row_number branch must read the same materialized partitions, or
+    # the offsets could describe a different boundary sampling than the
+    # row_numbers run on (range-boundary sampling is documented as not
+    # necessarily consistent; exchange reuse is an optimization, not a
+    # guarantee). With a configured checkpoint dir this uses a RELIABLE
+    # checkpoint (replayable after executor loss — the right choice on a
+    # real cluster with dynamic allocation); otherwise it falls back to
+    # localCheckpoint (executor-local blocks, fine for local mode).
+    part = ranged.sortWithinPartitions(*cols).withColumn(
+        "_pid", F.spark_partition_id()
     )
+    if df.sparkSession.sparkContext.getCheckpointDir() is not None:
+        part = part.checkpoint(eager=False)
+    else:
+        part = part.localCheckpoint(eager=False)
     counts = part.groupBy("_pid").count()
     woff = Window.orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -14,10 +14,11 @@ from __future__ import annotations
 
 import re
 
+# shared anchors: detector and extractor must use the SAME predicate, or
+# detection routes text to a family whose extractor then finds nothing
+from .extractors import _APPLE_REQUIRED, _CAPONE_PRINT_HEADER
+
 _CSV_CAPONE_HEADER = "Transaction Date,Posted Date,Card No.,Description"
-_CAPONE_PRINT_HEADER = re.compile(
-    r"DATE\s+DESC\s*RIPTION\s+CATEGORY\s+CARD\s+AMOUN\s*T", re.IGNORECASE
-)
 _WF_CHECKING_ROW = re.compile(r"^\d{1,2}/\d{1,2}/\d{4},-?[\d.]+,\*,,", re.MULTILINE)
 
 # (family, predicate) in registration order — first match wins.
@@ -77,11 +78,15 @@ def detect_family(text: str) -> str:
         return "amazon_invoice"  # can_parse, amazon_invoice_pdf_parser.py:33-42
     if "order placed:" in low:
         return "amazon_order"
-    # comma-adjacent header cells, not loose substrings: prose mentioning the
-    # column names must not be routed to a CSV family whose extractor then
-    # finds no header line and silently drops every record
-    if "transaction date,clearing date" in low and "amount (usd)" in low:
-        return "csv_apple_card"  # header set, apple_card_csv_parser.py:122-135
+    # EXACTLY the extractor's own header predicate (all four header names on
+    # ONE line, case-sensitive): looser detection would route prose that
+    # mentions column names to a family that then drops every record;
+    # tighter detection (e.g. comma-adjacency) would reject reordered or
+    # space-padded headers the extractor can parse fine
+    if "Amount (USD)" in text:  # cheap pre-filter before the per-line scan
+        for line in text.split("\n"):
+            if all(h in line for h in _APPLE_REQUIRED):
+                return "csv_apple_card"  # apple_card_csv_parser.py:122-135
     if _CSV_CAPONE_HEADER.lower() in low:
         return "csv_capitalone"
     if _CAPONE_PRINT_HEADER.search(text):

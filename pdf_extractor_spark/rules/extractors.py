@@ -691,6 +691,8 @@ def extract_bofa_visa(text: str) -> ExtractResult:
             continue
         if not started:
             continue
+        # anchored at column 0 like the reference's re.match on raw lines:
+        # indented rows do NOT match there either (faithful, if lossy)
         rm = _BOFA_VISA_ROW.match(raw)
         if not rm:
             continue
@@ -819,8 +821,11 @@ _MONTH_ABBREVS = {
 
 def _capone_print_clean(line: str) -> str:
     """T7 per the reference (capitalone_visa_print_parser.py:95-102):
-    printable chars only, nulls dropped, stripped. The all-printable common
-    case short-circuits to one C-level check instead of a per-char loop."""
+    printable chars only, nulls dropped, stripped. NOTE: tabs are
+    NON-printable, so the reference DELETES them — tab-separated tokens glue
+    together; reproduced faithfully (the parity bar beats prettier output).
+    The all-printable common case short-circuits to one C-level check
+    instead of a per-char loop."""
     if line.isprintable():
         return line.strip()
     return "".join(c for c in line if c.isprintable() and c != "\x00").strip()
@@ -852,13 +857,17 @@ def extract_capitalone_print(text: str) -> ExtractResult:
     table_off = hm.end()
     table = text[table_off:]
 
-    # (cleaned_line, start_off, end_off) with offsets into the original text
+    # (cleaned_line, start_off, end_off) — offsets into the original text,
+    # trimmed to the content like every other family's spans
     lines: list[tuple[str, int, int]] = []
     pos = 0
     for raw in table.split("\n"):
         cl = _capone_print_clean(raw)
         if cl:
-            lines.append((cl, table_off + pos, table_off + pos + len(raw)))
+            lead = len(raw) - len(raw.lstrip())
+            lines.append(
+                (cl, table_off + pos + lead, table_off + pos + len(raw.rstrip()))
+            )
             if cl != raw.strip():
                 _hit(hits, "t7_nonprintable_stripped")
         pos += len(raw) + 1
