@@ -17,7 +17,7 @@ from typing import NamedTuple
 
 from . import dates as D
 from . import textnorm as TN
-from .amounts import clean_amount, normalize_sign
+from .amounts import clean_amount, clean_amount_or_zero, normalize_sign
 from .boilerplate import is_footer_line, is_section_marker, strip_boilerplate_lines
 from .segment import (
     Line,
@@ -795,6 +795,45 @@ def extract_csv_capitalone(text: str) -> ExtractResult:
     return ExtractResult(records, hits, None)
 
 
+# --- chase visa CSV (chase_visa_csv_parser.py:40-100) ------------------------
+
+_CHASE_CSV_REQUIRED = ("Transaction Date", "Post Date", "Amount", "Description")
+
+
+def extract_chase_visa_csv(text: str) -> ExtractResult:
+    """Chase Visa CSV export (chase_visa_csv_parser.py:40-100): header-set
+    detection {Transaction Date, Post Date, Amount, Description}, strict
+    %m/%d/%Y date parse (anything else -> None), amount coerced to 0.0 on
+    parse failure (:26-31), amounts carry their in-file sign (charges are
+    already negative in Chase exports; the parser applies no normalization)."""
+    hits: dict[str, int] = {}
+    records: list[Record] = []
+    cols: list[str] | None = None
+    for ln in split_lines(text):
+        if cols is None:
+            if all(h in ln.text for h in _CHASE_CSV_REQUIRED):
+                cols = [c.strip() for c in next(_csv.reader(_io.StringIO(ln.text)))]
+                _hit(hits, "s4_header_detected")
+            continue
+        vals = next(_csv.reader(_io.StringIO(ln.text)), [])
+        if len(vals) != len(cols):
+            continue
+        row = dict(zip(cols, vals))
+        # strict single-format parse (parse_date, :33-38): %m/%d/%Y or None
+        raw_date = (row.get("Transaction Date") or "").strip()
+        iso = D.parse_date(raw_date) if _MMDDYYYY_SHAPE.match(raw_date) else None
+        amt = clean_amount_or_zero(row.get("Amount"))  # coerce->0.0 (:26-31)
+        ttype_raw = (row.get("Type") or "").lower()
+        ttype = "credit" if "payment" in ttype_raw else ("charge" if ttype_raw else None)
+        desc = TN.normalize_description(row.get("Description", ""))
+        records.append(Record(iso, amt, desc, ttype, ln.start, ln.end))
+        _hit(hits, "s4_csv_row")
+    return ExtractResult(records, hits, None)
+
+
+_MMDDYYYY_SHAPE = re.compile(r"^\d{1,2}/\d{1,2}/\d{4}$")
+
+
 # --- capital one visa PRINT (capitalone_visa_print_parser.py:83-171) --------
 
 _CAPONE_PRINT_HEADER = re.compile(
@@ -1081,6 +1120,7 @@ EXTRACTORS = {
     "bofa_visa": extract_bofa_visa,
     "amazon_invoice": extract_amazon_invoice,
     "csv_apple_card": extract_csv_apple_card,
+    "chase_visa_csv": extract_chase_visa_csv,
     "capitalone_print": extract_capitalone_print,
     "wf_mastercard": extract_wf_mastercard,
     "wf_visa": extract_wf_visa,

@@ -325,6 +325,30 @@ _MONTH_ABBR = ("Jan", "Feb", "Mar", "Apr", "May", "Jun",
                "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
 
 
+def gen_chase_visa_csv(rng: random.Random) -> str:
+    """Chase Visa CSV export: signed in-file amounts (charges negative),
+    strict MM/DD/YYYY dates with occasional malformed rows (-> None date /
+    0.0 amount via the coerce path)."""
+    lines = [
+        "Transaction Date,Post Date,Description,Category,Type,Amount,Memo"
+    ]
+    for _ in range(rng.randint(2, 6)):
+        d = rng.randint(1, 27)
+        amt = round(rng.uniform(1.0, 900.0), 2)
+        if rng.random() < 0.25:
+            lines.append(
+                f"01/{d:02d}/2024,01/{d+1:02d}/2024,Payment Thank You,,Payment,{amt:.2f},"
+            )
+        elif rng.random() < 0.12:
+            # malformed: bad date + unparseable amount -> None / 0.0
+            lines.append(f"Jan {d} 2024,01/{d+1:02d}/2024,{_merch(rng)},Shopping,Sale,abc,")
+        else:
+            lines.append(
+                f"01/{d:02d}/2024,01/{d+1:02d}/2024,{_merch(rng)},Shopping,Sale,-{amt:.2f},"
+            )
+    return "\n".join(lines)
+
+
 def gen_capitalone_print(rng: random.Random) -> str:
     """Capital One print statement: split-word table header ('DESC RIPTION'),
     month-abbrev row starts with continuation buffering, occasional '-$'
@@ -445,6 +469,7 @@ FAMILY_GENERATORS = (
     ("wf_bank_layout", gen_wf_bank_layout),
     ("amazon_order", gen_amazon_order),
     ("csv_capitalone", gen_csv_capitalone),
+    ("chase_visa_csv", gen_chase_visa_csv),
     ("capitalone_print", gen_capitalone_print),
     ("csv_wf_checking", gen_csv_wf_checking),
     ("noisy_desc", gen_noisy_desc),

@@ -207,3 +207,29 @@ def test_capitalone_print_detected():
     r = extract_turn(CAPONE_PRINT_FIXTURE)
     assert r.family == "capitalone_print"
     assert r.valid is False and r.problem_reason == "missing_or_unparseable_amount"
+
+
+CHASE_CSV_FIXTURE = """Transaction Date,Post Date,Description,Category,Type,Amount,Memo
+01/05/2024,01/06/2024,STARBUCKS #123,Food,Sale,-4.50,
+01/10/2024,01/11/2024,Payment Thank You,,Payment,250.00,
+Jan 12 2024,01/13/2024,BAD ROW,Shopping,Sale,abc,
+"""
+
+
+def test_chase_visa_csv_family():
+    """chase_visa_csv_parser.py:40-100: header-set detection, strict
+    %m/%d/%Y date (else None), amount coerce->0.0, in-file signs kept."""
+    from pdf_extractor_spark.rules.extractors import extract_chase_visa_csv
+
+    r = extract_chase_visa_csv(CHASE_CSV_FIXTURE)
+    assert [rec.amount for rec in r.records] == [-4.50, 250.00, 0.0]
+    assert r.records[0].ttype == "charge" and r.records[1].ttype == "credit"
+    assert r.records[2].date is None  # 'Jan 12 2024' fails the strict parse
+    assert extract_turn(CHASE_CSV_FIXTURE).family == "chase_visa_csv"
+
+
+def test_chase_csv_does_not_shadow_capitalone_or_apple():
+    from pdf_extractor_spark.sources.synth import gen_csv_capitalone
+
+    assert extract_turn(gen_csv_capitalone(random.Random(1))).family == "csv_capitalone"
+    assert extract_turn(APPLE_FIXTURE).family == "csv_apple_card"

@@ -30,6 +30,7 @@ def test_detection_order_is_pinned():
         "amazon_invoice",  # before amazon_order: invoice text also carries 'Order Placed:'
         "amazon_order",
         "csv_apple_card",
+        "chase_visa_csv",
         "csv_capitalone",
         "capitalone_print",
         "csv_wf_checking",
