@@ -136,8 +136,14 @@ def extract_statement_period(text: str) -> tuple[str | None, str | None, str]:
     (line breaks inside the period string)."""
     import unicodedata
 
-    candidates = (text, unicodedata.normalize("NFKD", text))
-    for t in candidates:
+    def candidates():
+        # NFKD of the WHOLE text is the single most expensive step of this
+        # ladder; yield it lazily so the (overwhelmingly common) raw-text
+        # first-rung match never pays for it
+        yield text
+        yield unicodedata.normalize("NFKD", text)
+
+    for t in candidates():
         for pat in STATEMENT_PERIOD_PATTERNS:
             m = pat.search(t)
             if m:
@@ -145,7 +151,7 @@ def extract_statement_period(text: str) -> tuple[str | None, str | None, str]:
                 end = parse_date(m.group(2))
                 if start or end:
                     return start, end, "content"
-    for t in candidates:
+    for t in candidates():
         squashed = re.sub(r"\s+", "", t)
         m = _SQUASHED_THROUGH.search(squashed)
         if m and m.group(1) in _MONTHS and m.group(4) in _MONTHS:
