@@ -35,6 +35,7 @@ DETECTION_ORDER: tuple[str, ...] = (
     # invoice variant BEFORE the simple order family: invoice text also
     # contains 'Order Placed:' (registration-order semantics, registry.py)
     "amazon_invoice",
+    "amazon_history",
     "amazon_order",
     "csv_apple_card",
     "chase_visa_csv",
@@ -77,6 +78,8 @@ def detect_family(text: str) -> str:
         return "wf_bank_layout"
     if "final details for order" in low and "amazon.com order number" in low:
         return "amazon_invoice"  # can_parse, amazon_invoice_pdf_parser.py:33-42
+    if "ORDER PLACED" in text and "ORDER #" in text:
+        return "amazon_history"  # amazon_pdf_parser.py:133-139 can_parse markers
     if "order placed:" in low:
         return "amazon_order"
     # EXACTLY the extractor's own header predicate (all four header names on

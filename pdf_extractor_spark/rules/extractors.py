@@ -795,6 +795,84 @@ def extract_csv_capitalone(text: str) -> ExtractResult:
     return ExtractResult(records, hits, None)
 
 
+# --- amazon order HISTORY page (amazon_pdf_parser.py:47-126) -----------------
+
+_AMZ_HIST_SPLIT = "ORDER PLACED"
+_AMZ_HIST_DATE_HEAD = re.compile(r"^([A-Za-z]+ \d{1,2}, \d{4})")
+_AMZ_HIST_DATE_ANY = re.compile(r"([A-Za-z]+ \d{1,2}, \d{4})")
+_AMZ_HIST_TOTAL = re.compile(r"TOTAL\s*\$([\d\.,]+)")
+_AMZ_HIST_ORDERNUM = re.compile(r"ORDER # ([\d\-]+)")
+_AMZ_HIST_SHIPTO = re.compile(r"SHIP TO\n([A-Za-z ]+)")
+_AMZ_HIST_PROD_SPLIT = re.compile(r"View order details|View invoice")
+_AMZ_HIST_SKIP_PREFIXES = (
+    "Return", "Buy it again", "Get product support",
+    "Write a product review", "Ask Product Question",
+)
+_AMZ_HIST_BOILER = frozenset(
+    (
+        "view invoice", "view your item", "replace item", "share gift receipt",
+        "write a product review", "get product support", "ask product question",
+        "buy it again",
+    )
+)
+
+
+def extract_amazon_history(text: str) -> ExtractResult:
+    """Amazon order-HISTORY page (amazon_pdf_parser.py:47-126): T4 block
+    split on 'ORDER PLACED', per-block date (anchored then first-40-chars
+    fallback), TOTAL amount coerced to 0.0, order number, SHIP TO, the
+    FIRST-3 product lines after 'View order details|View invoice' with the
+    boilerplate-prefix skip (O2 + P6 citations in SURVEY), and the
+    description pick ladder with its 'Amazon Order' fallback."""
+    hits: dict[str, int] = {}
+    records: list[Record] = []
+    parts = text.split(_AMZ_HIST_SPLIT)
+    pos = len(parts[0])
+    for block in parts[1:]:
+        block_off = pos + len(_AMZ_HIST_SPLIT)
+        pos = block_off + len(block)
+        dm = _AMZ_HIST_DATE_HEAD.search(block.lstrip())
+        if not dm:
+            dm = _AMZ_HIST_DATE_ANY.search(block[:40])
+        order_date = D.parse_date(dm.group(1).strip()) if dm else None
+        tm = _AMZ_HIST_TOTAL.search(block)
+        amount = clean_amount_or_zero(tm.group(1)) if tm else 0.0
+        if _AMZ_HIST_ORDERNUM.search(block):
+            _hit(hits, "r16_order_number")
+        if _AMZ_HIST_SHIPTO.search(block):
+            _hit(hits, "r18_ship_to")
+        product_lines: list[str] = []
+        prod_section = _AMZ_HIST_PROD_SPLIT.split(block, maxsplit=1)
+        if len(prod_section) > 1:
+            for line in prod_section[1].split("\n"):
+                s = line.strip()
+                if s and not any(s.startswith(p) for p in _AMZ_HIST_SKIP_PREFIXES):
+                    product_lines.append(s)
+                if len(product_lines) >= 3:  # O2 first-3 (amazon_pdf_parser.py:88-89)
+                    break
+        description = None
+        for pline in product_lines:
+            if pline.lower() not in _AMZ_HIST_BOILER and not pline.lower().startswith("return"):
+                description = pline
+                break
+        if not description:
+            for pline in product_lines:
+                if len(pline.strip()) > 10:
+                    description = pline
+                    break
+        if not description:
+            description = "Amazon Order"
+            _hit(hits, "p6_description_fallback")
+        records.append(
+            Record(
+                order_date, amount, TN.normalize_description(description), None,
+                block_off, block_off + len(block.rstrip()),
+            )
+        )
+        _hit(hits, "t4_order_block")
+    return ExtractResult(records, hits, None)
+
+
 # --- chase visa CSV (chase_visa_csv_parser.py:40-100) ------------------------
 
 _CHASE_CSV_REQUIRED = ("Transaction Date", "Post Date", "Amount", "Description")
@@ -1119,6 +1197,7 @@ EXTRACTORS = {
     "bofa_bank": extract_bofa_bank,
     "bofa_visa": extract_bofa_visa,
     "amazon_invoice": extract_amazon_invoice,
+    "amazon_history": extract_amazon_history,
     "csv_apple_card": extract_csv_apple_card,
     "chase_visa_csv": extract_chase_visa_csv,
     "capitalone_print": extract_capitalone_print,

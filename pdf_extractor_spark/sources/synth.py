@@ -299,6 +299,29 @@ def gen_csv_apple_card(rng: random.Random) -> str:
     return "\n".join(lines)
 
 
+def gen_amazon_history(rng: random.Random) -> str:
+    """Amazon order-history page: ORDER PLACED blocks, TOTAL/ORDER #/SHIP TO,
+    first-3 product-line scan behind boilerplate action links."""
+    blocks = []
+    for _ in range(rng.randint(1, 3)):
+        prods = [
+            rng.choice(("Buy it again", "Return or replace items", "Get product support")),
+            f"WIDGET {rng.choice(('PRO','MAX','MINI','XL'))} {rng.choice(('ULTRA','HOME','TRAVEL'))} EDITION",
+            "Write a product review",
+            f"SECOND PRODUCT {rng.randint(10,99)} PACK",
+        ]
+        blocks.append(
+            "ORDER PLACED\n"
+            f"March {rng.randint(1, 28)}, 2024\n"
+            f"TOTAL ${round(rng.uniform(10, 400), 2):.2f}\n"
+            "SHIP TO\nJOHN DOE\n"
+            f"ORDER # 112-{rng.randint(1000000, 9999999)}-{rng.randint(1000000, 9999999)}\n"
+            + rng.choice(("View order details", "View invoice")) + "\n"
+            + "\n".join(prods)
+        )
+    return "Your Orders\n" + "\n".join(blocks)
+
+
 def gen_csv_capitalone(rng: random.Random) -> str:
     lines = [
         "Capital One export",
@@ -468,6 +491,7 @@ FAMILY_GENERATORS = (
     ("first_republic", gen_first_republic),
     ("wf_bank_layout", gen_wf_bank_layout),
     ("amazon_order", gen_amazon_order),
+    ("amazon_history", gen_amazon_history),
     ("csv_capitalone", gen_csv_capitalone),
     ("chase_visa_csv", gen_chase_visa_csv),
     ("capitalone_print", gen_capitalone_print),

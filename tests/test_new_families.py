@@ -233,3 +233,43 @@ def test_chase_csv_does_not_shadow_capitalone_or_apple():
 
     assert extract_turn(gen_csv_capitalone(random.Random(1))).family == "csv_capitalone"
     assert extract_turn(APPLE_FIXTURE).family == "csv_apple_card"
+
+
+AMZ_HISTORY_FIXTURE = """Your Orders
+ORDER PLACED
+March 5, 2024
+TOTAL $123.45
+SHIP TO
+JOHN DOE
+ORDER # 112-1234567-7654321
+View order details
+Return or replace items
+Buy it again
+WIDGET PRO ULTRA EDITION
+ORDER PLACED
+March 9, 2024
+TOTAL $19.99
+SHIP TO
+JANE DOE
+ORDER # 112-9999999-1111111
+View invoice
+Write a product review
+Get product support
+Ask Product Question
+"""
+
+
+def test_amazon_history_blocks_and_description_ladder():
+    """amazon_pdf_parser.py:47-126: ORDER PLACED block split, first-3
+    product-line scan with boilerplate-prefix skips, description pick
+    ladder with the 'Amazon Order' fallback when only boilerplate remains."""
+    from pdf_extractor_spark.rules.extractors import extract_amazon_history
+
+    r = extract_amazon_history(AMZ_HISTORY_FIXTURE)
+    assert len(r.records) == 2
+    assert r.records[0].date == "2024-03-05" and r.records[0].amount == 123.45
+    assert r.records[0].description == "WIDGET PRO ULTRA EDITION"
+    # second block: every candidate line is boilerplate -> fallback
+    assert r.records[1].description == "Amazon Order"
+    assert r.hits["r16_order_number"] == 2
+    assert extract_turn(AMZ_HISTORY_FIXTURE).family == "amazon_history"

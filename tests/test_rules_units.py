@@ -28,6 +28,7 @@ def test_detection_order_is_pinned():
         "chase_visa",
         "wf_bank_layout",
         "amazon_invoice",  # before amazon_order: invoice text also carries 'Order Placed:'
+        "amazon_history",
         "amazon_order",
         "csv_apple_card",
         "chase_visa_csv",
