@@ -39,7 +39,7 @@ SCALING_CONVS = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "100000"))
 # suites, but the bench measures the production single-scan implementations —
 # names kept identical to r01 so per-query numbers stay comparable.
 def _headline():
-    from pdf_extractor_spark.plans import catalog, catalog_ext
+    from pdf_extractor_spark.plans import catalog, catalog_ext, llm_extras
 
     return [
         ("tpch_q1_pricing_summary", catalog.q_tpch_q1_pricing_summary),
@@ -51,6 +51,11 @@ def _headline():
         ("text_quality_score", catalog.q_text_quality_score),
         ("sim_bruteforce_topk", catalog.q_sim_bruteforce_topk),
         ("sim_ivf_topk", catalog_ext.q_sim_ivf_topk),
+        # round-2 pipeline ops
+        ("dedup_components", llm_extras.q_dedup_components),
+        ("pack_sequences", llm_extras.q_pack_sequences),
+        ("sample_stratified", llm_extras.q_sample_stratified),
+        ("tfidf_topk", llm_extras.q_tfidf_topk),
     ]
 
 
