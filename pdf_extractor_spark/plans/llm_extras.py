@@ -45,6 +45,10 @@ def near_dup_components(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id
         pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
         .union(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
         .distinct()
+        # materialize ONCE: the edge relation feeds every propagation round,
+        # and recomputing it would re-run the (expensive) near-dup pair
+        # derivation — e.g. the full MinHash signature pass — per iteration
+        .localCheckpoint(eager=True)
     )
     labels = nodes.select("node", F.col("node").alias("comp"))
     while True:

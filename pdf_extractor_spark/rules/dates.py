@@ -136,12 +136,17 @@ def extract_statement_period(text: str) -> tuple[str | None, str | None, str]:
     (line breaks inside the period string)."""
     import unicodedata
 
+    nfkd_cache: list[str] = []
+
     def candidates():
         # NFKD of the WHOLE text is the single most expensive step of this
         # ladder; yield it lazily so the (overwhelmingly common) raw-text
-        # first-rung match never pays for it
+        # first-rung match never pays for it — and memoized, so the
+        # full-miss path (which iterates candidates() twice) pays at most once
         yield text
-        yield unicodedata.normalize("NFKD", text)
+        if not nfkd_cache:
+            nfkd_cache.append(unicodedata.normalize("NFKD", text))
+        yield nfkd_cache[0]
 
     for t in candidates():
         for pat in STATEMENT_PERIOD_PATTERNS:

@@ -16,7 +16,12 @@ import re
 
 # shared anchors: detector and extractor must use the SAME predicate, or
 # detection routes text to a family whose extractor then finds nothing
-from .extractors import _APPLE_REQUIRED, _CAPONE_PRINT_HEADER, _CHASE_CSV_REQUIRED
+from .extractors import (
+    _APPLE_REQUIRED,
+    _CAPONE_PRINT_HEADER,
+    _CHASE_CSV_REQUIRED,
+    has_csv_header,
+)
 
 _CSV_CAPONE_HEADER = "Transaction Date,Posted Date,Card No.,Description"
 _WF_CHECKING_ROW = re.compile(r"^\d{1,2}/\d{1,2}/\d{4},-?[\d.]+,\*,,", re.MULTILINE)
@@ -87,14 +92,10 @@ def detect_family(text: str) -> str:
     # mentions column names to a family that then drops every record;
     # tighter detection (e.g. comma-adjacency) would reject reordered or
     # space-padded headers the extractor can parse fine
-    if "Amount (USD)" in text:  # cheap pre-filter before the per-line scan
-        for line in text.split("\n"):
-            if all(h in line for h in _APPLE_REQUIRED):
-                return "csv_apple_card"  # apple_card_csv_parser.py:122-135
-    if "Post Date" in text and "Amount" in text:  # cheap pre-filter
-        for line in text.split("\n"):
-            if all(h in line for h in _CHASE_CSV_REQUIRED):
-                return "chase_visa_csv"  # chase_visa_csv_parser.py:87-97
+    if "Amount (USD)" in text and has_csv_header(text, _APPLE_REQUIRED):
+        return "csv_apple_card"  # apple_card_csv_parser.py:122-135
+    if "Post Date" in text and has_csv_header(text, _CHASE_CSV_REQUIRED):
+        return "chase_visa_csv"  # chase_visa_csv_parser.py:87-97
     if _CSV_CAPONE_HEADER.lower() in low:
         return "csv_capitalone"
     if _CAPONE_PRINT_HEADER.search(text):

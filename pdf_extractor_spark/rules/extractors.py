@@ -536,6 +536,43 @@ def extract_amazon_order(text: str) -> ExtractResult:
     return ExtractResult(records, hits, None)
 
 
+# --- shared CSV-family scaffold ---------------------------------------------
+
+
+def csv_header_cols(line: str, required: tuple[str, ...]) -> list[str] | None:
+    """Header line iff every required name is a CELL of the csv-split line
+    (matching pd.read_csv + header-set can_parse semantics). Substring-only
+    acceptance would treat 'Amount USD' as satisfying 'Amount' and then
+    silently zero every row's amount via the coerce path."""
+    if not all(h in line for h in required):
+        return None  # cheap substring pre-filter
+    cols = [c.strip() for c in next(_csv.reader(_io.StringIO(line)), [])]
+    return cols if set(required) <= set(cols) else None
+
+
+def has_csv_header(text: str, required: tuple[str, ...]) -> bool:
+    """Detector-side predicate: EXACTLY the extractor's header acceptance."""
+    return any(csv_header_cols(ln, required) for ln in text.split("\n"))
+
+
+def _csv_rows(text: str, required: tuple[str, ...]) -> list[tuple[Line, dict]] | None:
+    """Shared header-detect + row-parse scaffold for header-named CSV
+    families: None when no valid header line exists; else the data rows as
+    (Line, column->value dict), rows with a mismatched cell count skipped
+    (pd.read_csv alignment semantics)."""
+    cols: list[str] | None = None
+    out: list[tuple[Line, dict]] = []
+    for ln in split_lines(text):
+        if cols is None:
+            cols = csv_header_cols(ln.text, required)
+            continue
+        vals = next(_csv.reader(_io.StringIO(ln.text)), [])
+        if len(vals) != len(cols):
+            continue
+        out.append((ln, dict(zip(cols, vals))))
+    return None if cols is None else out
+
+
 # --- amazon invoice variant (amazon_invoice_pdf_parser.py:53-156) -----------
 
 _INV_PAID_BY = re.compile(r"Paid By: (.+)")
@@ -731,17 +768,11 @@ def extract_csv_apple_card(text: str) -> ExtractResult:
     (-> negative) and payments negative (-> positive)."""
     hits: dict[str, int] = {}
     records: list[Record] = []
-    cols: list[str] | None = None
-    for ln in split_lines(text):
-        if cols is None:
-            if all(h in ln.text for h in _APPLE_REQUIRED):
-                cols = [c.strip() for c in next(_csv.reader(_io.StringIO(ln.text)))]
-                _hit(hits, "s4_header_detected")
-            continue
-        vals = next(_csv.reader(_io.StringIO(ln.text)), [])
-        if len(vals) != len(cols):
-            continue
-        row = dict(zip(cols, vals))
+    rows = _csv_rows(text, _APPLE_REQUIRED)
+    if rows is None:
+        return ExtractResult([], hits, None)
+    _hit(hits, "s4_header_detected")
+    for ln, row in rows:
         iso = D.parse_date(row.get("Transaction Date", ""))
         ttype = "credit" if "payment" in row.get("Type", "").lower() else "debit"
         amt = normalize_sign(
@@ -886,17 +917,11 @@ def extract_chase_visa_csv(text: str) -> ExtractResult:
     already negative in Chase exports; the parser applies no normalization)."""
     hits: dict[str, int] = {}
     records: list[Record] = []
-    cols: list[str] | None = None
-    for ln in split_lines(text):
-        if cols is None:
-            if all(h in ln.text for h in _CHASE_CSV_REQUIRED):
-                cols = [c.strip() for c in next(_csv.reader(_io.StringIO(ln.text)))]
-                _hit(hits, "s4_header_detected")
-            continue
-        vals = next(_csv.reader(_io.StringIO(ln.text)), [])
-        if len(vals) != len(cols):
-            continue
-        row = dict(zip(cols, vals))
+    rows = _csv_rows(text, _CHASE_CSV_REQUIRED)
+    if rows is None:
+        return ExtractResult([], hits, None)
+    _hit(hits, "s4_header_detected")
+    for ln, row in rows:
         # strict single-format parse (parse_date, :33-38): %m/%d/%Y or None
         raw_date = (row.get("Transaction Date") or "").strip()
         iso = D.parse_date(raw_date) if _MMDDYYYY_SHAPE.match(raw_date) else None

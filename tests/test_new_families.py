@@ -273,3 +273,24 @@ def test_amazon_history_blocks_and_description_ladder():
     assert r.records[1].description == "Amazon Order"
     assert r.hits["r16_order_number"] == 2
     assert extract_turn(AMZ_HISTORY_FIXTURE).family == "amazon_history"
+
+
+def test_csv_header_requires_cell_match_not_substring():
+    """A header whose cells only SUBSTRING-match the required names (e.g.
+    'Amount USD' for 'Amount') must be rejected — accepting it would zero
+    every row's amount through the coerce path with no quarantine signal."""
+    from pdf_extractor_spark.rules.extractors import (
+        _CHASE_CSV_REQUIRED,
+        csv_header_cols,
+        extract_chase_visa_csv,
+    )
+
+    bad = "Transaction Date,Post Date,Description,Category,Type,Amount USD,Memo"
+    assert csv_header_cols(bad, _CHASE_CSV_REQUIRED) is None
+    txt = bad + "\n01/05/2024,01/06/2024,STORE,Food,Sale,-4.50,\n"
+    assert extract_chase_visa_csv(txt).records == []
+    assert extract_turn(txt).family != "chase_visa_csv"
+    # print-style comma-less header: substrings present, cells absent
+    assert extract_turn(
+        "Transaction Date  Post Date  Description  Amount\nrow"
+    ).family != "chase_visa_csv"
