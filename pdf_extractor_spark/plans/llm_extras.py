@@ -64,6 +64,17 @@ def near_dup_components(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id
                 F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"),
             )
         )
+        # pointer-jumping compression: also adopt the label OF my label
+        # (comp[comp]) — turns O(diameter) rounds into O(log diameter); the
+        # join is tiny (labels x labels on the label key)
+        lbl = new.select(F.col("node").alias("lnode"), F.col("comp").alias("lcomp"))
+        new = (
+            new.join(lbl, new.comp == F.col("lnode"), "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("lcomp", F.col("comp"))).alias("comp"),
+            )
+        )
         new = new.localCheckpoint(eager=True)  # cut the iterative lineage
         changed = (
             new.alias("n")
