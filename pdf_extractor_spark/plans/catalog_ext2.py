@@ -604,26 +604,169 @@ _T5_ORACLE = """
 """
 
 
+# Deterministically malformed turns appended to the gate input so the P5
+# branch of the FLAGSHIP path is exercised (r2 VERDICT #1: the documents-
+# derived transcripts alone quarantine nothing, which made the quarantine
+# gate vacuous). One literal per quarantine reason; extract_turn() behavior
+# on each is pinned in tests/test_pipeline_gates.py. The (mod, offset)
+# placement is mirrored exactly by the DuckDB oracles below.
+_BAD_TURNS = (
+    # (doc_id mod, turn_idx offset past the doc's fragments, text, reason)
+    (7, 0, None, "null_text"),
+    (11, 1, "ledger rows\n99/99/9999|12.00|BAD DATE ROW", "missing_or_unparseable_date"),
+    (13, 2, "ledger rows\n01/15/2024|NOTANUM|BAD AMOUNT ROW", "missing_or_unparseable_amount"),
+    (17, 3, "ledger rows\n01/15/2024|12.00|", "empty_description"),
+)
+
+
+def _gate_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship gate input: documents-derived transcripts PLUS the injected
+    malformed turns above. Spark's split(limit=-1) and DuckDB's
+    string_split_regex agree on trailing-empty fragments, so the oracles can
+    recompute each doc's fragment count (= injected turn_idx base) in SQL."""
+    import __spark_entry__ as entrymod
+
+    base = entrymod._transcripts_from_documents(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nf = F.size(F.split(F.col("text"), r"\. "))
+    conv = F.concat(F.lit("doc_"), F.col("doc_id").cast("string"))
+    for mod, off, bad_text, _reason in _BAD_TURNS:
+        bad = docs.where(F.col("doc_id") % mod == 0).select(
+            conv.alias("conv_id"),
+            (nf + off).cast("int").alias("turn_idx"),
+            F.lit("assistant").alias("role"),
+            F.lit(bad_text).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+        )
+        base = base.unionByName(bad)
+    return base
+
+
 def q_pipeline_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship extraction pipeline itself (rows-only gate entry: the
     rule library is Python-tier by design; goldens carry the exact-value
-    check). Input = transcripts deterministically derived from documents."""
-    import __spark_entry__ as entrymod
+    check). Input = transcripts deterministically derived from documents plus
+    injected malformed turns (P5 exercise).
 
+    Output is projected to SCALAR columns only — the driver canonicalizes
+    rows-only entries through a pandas sort, which crashes on array/map
+    values (r2 VERDICT #1: spans/rule_hits arrived as dicts). spans goes
+    through to_json; rule_hits is rendered as a sorted k:v CSV."""
     from ..operators.extract import extract_turns
     from ..operators.order import stable_turn_order
 
-    transcripts = entrymod._transcripts_from_documents(spark, sf_dir)
-    return stable_turn_order(extract_turns(transcripts))
+    ext = stable_turn_order(extract_turns(_gate_transcripts(spark, sf_dir)))
+    hits_csv = F.concat_ws(
+        ",",
+        F.array_sort(
+            F.transform(
+                F.map_entries("rule_hits"),
+                lambda e: F.concat(e["key"], F.lit(":"), e["value"].cast("string")),
+            )
+        ),
+    )
+    return ext.select(
+        "conv_id",
+        "turn_idx",
+        "family",
+        "extracted_text",
+        F.to_json("spans").alias("spans_json"),
+        hits_csv.alias("rule_hits_csv"),
+        "n_records",
+        "valid",
+        "problem_reason",
+    )
+
+
+def _raw_pipeline_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Un-projected flagship output (nested spans/rule_hits) for in-repo
+    consumers; the gate entry above is the scalar rendering of this."""
+    from ..operators.extract import extract_turns
+
+    return extract_turns(_gate_transcripts(spark, sf_dir))
 
 
 def q_pipeline_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P5 split over the flagship output (rows-only): quarantined turns with
-    reasons — the problem_rows relation of the reference."""
+    """P5 split over the flagship output: quarantined turns with reasons —
+    the problem_rows relation of the reference (transaction_normalizer.py:
+    273-284). Now ORACLED: the injected malformed turns have SQL-computable
+    (conv_id, turn_idx, reason) placement, so DuckDB can enumerate the
+    expected quarantine relation exactly."""
     from ..operators.validate import split_extracted
 
-    split = split_extracted(q_pipeline_extract(spark, sf_dir), cache=False)
+    split = split_extracted(_raw_pipeline_extract(spark, sf_dir), cache=False)
     return split.quarantine.select("conv_id", "turn_idx", "problem_reason")
+
+
+def _quarantine_oracle() -> str:
+    parts = [
+        f"""SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS conv_id,
+               CAST(nf + {off} AS INT) AS turn_idx,
+               '{reason}' AS problem_reason
+        FROM d WHERE doc_id % {mod} = 0"""
+        for mod, off, _text, reason in _BAD_TURNS
+    ]
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+    WITH d AS (SELECT doc_id,
+                      len(string_split_regex(text, '\\. ')) AS nf
+               FROM documents)
+    {union}
+    """
+
+
+_PIPELINE_QUARANTINE_ORACLE = _quarantine_oracle()
+
+
+def q_pipeline_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine-completeness contract (SURVEY §5.2 #3): per conversation,
+    valid + quarantine = input — nothing vanishes between the scan and the
+    two output branches. Counts come from the ACTUAL split operator output
+    (both branches), joined against the gate input's own per-conv counts;
+    the oracle recomputes all three from documents in SQL."""
+    from ..operators.validate import split_extracted
+
+    inp = (
+        _gate_transcripts(spark, sf_dir)
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n_input"))
+    )
+    split = split_extracted(_raw_pipeline_extract(spark, sf_dir), cache=False)
+    v = split.valid.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_valid"))
+    q = split.quarantine.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_quarantine")
+    )
+    return (
+        inp.join(v, "conv_id", "left")
+        .join(q, "conv_id", "left")
+        .select(
+            "conv_id",
+            "n_input",
+            F.coalesce("n_valid", F.lit(0)).alias("n_valid"),
+            F.coalesce("n_quarantine", F.lit(0)).alias("n_quarantine"),
+            (
+                F.coalesce("n_valid", F.lit(0)) + F.coalesce("n_quarantine", F.lit(0))
+            ).alias("n_total"),
+        )
+    )
+
+
+_PIPELINE_COMPLETENESS_ORACLE = """
+    WITH d AS (
+      SELECT doc_id,
+             len(string_split_regex(text, '\\. ')) AS nf,
+             CAST(doc_id % 7 = 0 AS INT) + CAST(doc_id % 11 = 0 AS INT)
+               + CAST(doc_id % 13 = 0 AS INT) + CAST(doc_id % 17 = 0 AS INT)
+               AS n_bad
+      FROM documents)
+    SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS conv_id,
+           CAST(nf + n_bad AS BIGINT) AS n_input,
+           CAST(nf AS BIGINT) AS n_valid,
+           CAST(n_bad AS BIGINT) AS n_quarantine,
+           CAST(nf + n_bad AS BIGINT) AS n_total
+    FROM d
+"""
 
 
 def q_j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1126,6 +1269,7 @@ QUERIES_EXT2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t5_capture_between_markers": q_t5_capture_between_markers,
     "pipeline_extract": q_pipeline_extract,
     "pipeline_quarantine": q_pipeline_quarantine,
+    "pipeline_completeness": q_pipeline_completeness,
     "conv_rollup": q_conv_rollup,
     "j6_asof_join": q_j6_asof_join,
     "j7_range_join": q_j7_range_join,
@@ -1151,6 +1295,8 @@ QUERIES_EXT2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_EXT2: dict[str, str] = {
+    "pipeline_quarantine": _PIPELINE_QUARANTINE_ORACLE,
+    "pipeline_completeness": _PIPELINE_COMPLETENESS_ORACLE,
     "p2_column_standardize": _P2_ORACLE,
     "conv_rollup": _CONV_ROLLUP_ORACLE,
     "j6_asof_join": _J6_ORACLE,

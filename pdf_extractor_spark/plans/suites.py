@@ -556,10 +556,13 @@ _SIM_TOPK_ORACLE = _compose_union(
 # ---------------------------------------------------------------------------
 
 def q_mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Media feature extraction gate (rows-only: payload bytes are Python
-    zlib, unmirrorable in SQL; exact values pinned in tests/test_multimodal).
-    The array column is rendered to a CSV string so the driver's pandas
-    canonicalizer can sort it (r01 'unhashable list' fix)."""
+    """Media feature extraction gate — now VALUE-ORACLED (r2 VERDICT #2):
+    the fake decoder is deterministic arithmetic over the synthesized
+    payloads, so an independent plain-Python recomputation (below) provides
+    the expected table as an inline-VALUES oracle. Features render to a CSV
+    of floor(x*1e6+0.5) longs: integer rendering side-steps float-format
+    drift AND keeps the output scalar for the driver's pandas canonicalizer
+    (r01 'unhashable list' fix)."""
     from ..operators.multimodal import extract_media_features, synth_media
 
     feats = extract_media_features(synth_media(spark, 120, seed=42))
@@ -567,10 +570,46 @@ def q_mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "kind",
         F.concat_ws(
-            ",", F.transform("features", lambda x: F.format_number(x, 6))
+            ",",
+            F.transform(
+                "features",
+                lambda x: F.floor(x * 1000000.0 + F.lit(0.5)).cast("long").cast("string"),
+            ),
         ).alias("features_csv"),
         F.col("n_bytes").cast("long").alias("n_bytes"),
     )
+
+
+def _mm_media_oracle(n: int = 120, seed: int = 42) -> str:
+    """Expected media-feature table recomputed in plain Python (hashlib/zlib
+    only — independent of operators/multimodal.py's code path) and emitted as
+    an inline VALUES relation. Mirrors synth_media's payload construction and
+    the fake decoder's md5-digest arithmetic; any drift in either fails the
+    value hash."""
+    import hashlib as _hl
+    import math as _math
+    import zlib as _zl
+
+    kinds = ("image", "audio", "video")
+    rows = []
+    for k in range(n):
+        payload = _zl.compress(
+            _hl.sha256(f"media:{seed}:{k}".encode()).digest() * (4 + k % 7)
+        )
+        feats = [
+            str(int(_math.floor(b / 255.0 * 1000000.0 + 0.5)))
+            for b in _hl.md5(payload).digest()[:8]
+        ]
+        rows.append(
+            f"(CAST({k} AS BIGINT), '{kinds[k % 3]}', "
+            f"'{','.join(feats)}', CAST({len(payload)} AS BIGINT))"
+        )
+    values = ",\n".join(rows)
+    return f"""
+    SELECT * FROM (VALUES
+    {values}
+    ) AS t(media_id, kind, features_csv, n_bytes)
+    """
 
 
 def q_mm_plan_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -683,6 +722,145 @@ _A9_A10_ORACLE = _compose_union(
 
 
 # ---------------------------------------------------------------------------
+# round-3 window repack: TPC-H q5+q6 melted to one entry, and ALL
+# beyond-reference agg extras (percentiles / pivot-unpivot / rollup-cube /
+# HLL tolerance / set ops) melted into one suite so the whole registry fits
+# the driver's ~50-entry verify window (r2 VERDICT #8)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q5_q6_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 multi-join revenue + Q6 filter-aggregate forecast, melted to
+    (variant, k, v, n). Production plans unchanged (bench measures them
+    individually); this is verification packaging."""
+    q5 = catalog.q_tpch_q5_local_supplier(spark, sf_dir).select(
+        F.lit("q5").alias("variant"),
+        F.col("n_name").alias("k"),
+        F.col("revenue").alias("v"),
+        F.lit(-1).cast("long").alias("n"),
+    )
+    q6 = catalog.q_tpch_q6_forecast(spark, sf_dir).select(
+        F.lit("q6").alias("variant"),
+        F.lit("forecast").alias("k"),
+        F.col("revenue").alias("v"),
+        F.col("n_rows").alias("n"),
+    )
+    return q5.unionByName(q6)
+
+
+_TPCH_Q5_Q6_ORACLE = _compose_union(
+    [
+        (
+            "q5",
+            catalog._ORACLES["tpch_q5_local_supplier"],
+            "n_name AS k, revenue AS v, CAST(-1 AS BIGINT) AS n",
+        ),
+        (
+            "q6",
+            catalog._ORACLES["tpch_q6_forecast"],
+            "'forecast' AS k, revenue AS v, n_rows AS n",
+        ),
+    ]
+)
+
+
+def q_a11_hll_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 with a CHECKABLE contract (replaces the rows-only HLL entry): per
+    group, |approx_count_distinct - exact| / exact <= 5% — Spark's HLL is
+    deterministic for a given input, so the bound is a stable oracle fact
+    (the oracle asserts 1.0; a sketch regression flips it to 0.0)."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    ok = (
+        F.abs(F.col("approx") - F.col("exact")) / F.col("exact") <= F.lit(0.05)
+    ).cast("double")
+    return agg.select("event_type", ok.alias("v"))
+
+
+def q_agg_extras_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference agg extras in ONE melted (variant, k1, k2, metric, v)
+    relation: A7 exact percentiles, A6+A8 pivot/unpivot round-trip, A9/A10
+    rollup+cube grouping sets, set INTERSECT/EXCEPT, and the A11 HLL
+    tolerance check."""
+    a7 = catalog_ext2.q_a7_percentiles(spark, sf_dir)
+    a7_rows = None
+    for m in ("p50", "p95", "vmin", "vmax", "n"):
+        part = a7.select(
+            F.lit("a7").alias("variant"),
+            F.col("event_type").alias("k1"),
+            F.lit("").alias("k2"),
+            F.lit(m).alias("metric"),
+            F.col(m).cast("double").alias("v"),
+        )
+        a7_rows = part if a7_rows is None else a7_rows.unionByName(part)
+    a8 = q_a6_a8_pivot_unpivot(spark, sf_dir).select(
+        F.lit("a8").alias("variant"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.lit("").alias("k2"),
+        F.col("metric"),
+        F.col("n").cast("double").alias("v"),
+    )
+    rc = q_a9_a10_rollup_cube(spark, sf_dir)
+    rc_rows = None
+    for m, c in (("revenue", "revenue"), ("n", "n"), ("gid", "gid")):
+        part = rc.select(
+            "variant",
+            F.coalesce(F.col("k1"), F.lit("<null>")).alias("k1"),
+            F.coalesce(F.col("k2"), F.lit("<null>")).alias("k2"),
+            F.lit(m).alias("metric"),
+            F.col(c).cast("double").alias("v"),
+        )
+        rc_rows = part if rc_rows is None else rc_rows.unionByName(part)
+    so = catalog_ext.q_set_intersect_except(spark, sf_dir).select(
+        F.lit("setops").alias("variant"),
+        F.col("o_custkey").cast("string").alias("k1"),
+        F.lit("").alias("k2"),
+        F.col("membership").alias("metric"),
+        F.lit(1.0).alias("v"),
+    )
+    a11 = q_a11_hll_tolerance(spark, sf_dir).select(
+        F.lit("a11").alias("variant"),
+        F.col("event_type").alias("k1"),
+        F.lit("").alias("k2"),
+        F.lit("hll_within_5pct").alias("metric"),
+        F.col("v"),
+    )
+    return a7_rows.unionByName(a8).unionByName(rc_rows).unionByName(so).unionByName(a11)
+
+
+def _agg_extras_oracle() -> str:
+    a7_parts = "\nUNION ALL\n".join(
+        f"""SELECT 'a7' AS variant, event_type AS k1, '' AS k2,
+                   '{m}' AS metric, CAST({m} AS DOUBLE) AS v FROM a7"""
+        for m in ("p50", "p95", "vmin", "vmax", "n")
+    )
+    rc_parts = "\nUNION ALL\n".join(
+        f"""SELECT variant, COALESCE(k1, '<null>') AS k1,
+                   COALESCE(k2, '<null>') AS k2,
+                   '{m}' AS metric, CAST({c} AS DOUBLE) AS v FROM rc"""
+        for m, c in (("revenue", "revenue"), ("n", "n"), ("gid", "gid"))
+    )
+    return f"""
+    WITH a7 AS ({catalog_ext2._A7_ORACLE}),
+    a8 AS ({catalog_ext2._A8_ORACLE}),
+    rc AS ({_A9_A10_ORACLE}),
+    so AS ({catalog_ext.ORACLES_EXT["set_intersect_except"]})
+    {a7_parts}
+    UNION ALL
+    SELECT 'a8', CAST(user_id AS VARCHAR), '', metric, CAST(n AS DOUBLE) FROM a8
+    UNION ALL
+    {rc_parts}
+    UNION ALL
+    SELECT 'setops', CAST(o_custkey AS VARCHAR), '', membership, 1.0 FROM so
+    UNION ALL
+    SELECT 'a11', event_type, '', 'hll_within_5pct', 1.0
+    FROM (SELECT DISTINCT event_type FROM events)
+    """
+
+
+# ---------------------------------------------------------------------------
 # the ordered driver registry
 # ---------------------------------------------------------------------------
 
@@ -700,9 +878,22 @@ def registry() -> tuple[
         if sql is not None:
             o[name] = sql
 
-    # -- flagship extraction pipeline (rows-only; goldens carry exact values)
+    # -- flagship extraction pipeline. pipeline_extract stays rows-only (the
+    # rule library is Python-tier; goldens carry exact values) but its output
+    # is scalar-projected for the driver canonicalizer (r2 VERDICT #1).
+    # quarantine + completeness are ORACLED: the injected malformed turns
+    # have SQL-computable placement.
     add("pipeline_extract", catalog_ext2.q_pipeline_extract)
-    add("pipeline_quarantine", catalog_ext2.q_pipeline_quarantine)
+    add(
+        "pipeline_quarantine",
+        catalog_ext2.q_pipeline_quarantine,
+        catalog_ext2._PIPELINE_QUARANTINE_ORACLE,
+    )
+    add(
+        "pipeline_completeness",
+        catalog_ext2.q_pipeline_completeness,
+        catalog_ext2._PIPELINE_COMPLETENESS_ORACLE,
+    )
     add("conv_rollup", catalog_ext2.q_conv_rollup, catalog_ext2._CONV_ROLLUP_ORACLE)
 
     # -- SURVEY §2 operator gates
@@ -771,7 +962,7 @@ def registry() -> tuple[
         catalog_ext.ORACLES_EXT["dedup_embedding_cosine"],
     )
     add("sim_topk_suite", q_sim_topk_suite, _SIM_TOPK_ORACLE)
-    add("mm_media_features", q_mm_media_features)  # rows-only (zlib payloads)
+    add("mm_media_features", q_mm_media_features, _mm_media_oracle())
     add("mm_plan_suite", q_mm_plan_suite, _MM_PLAN_ORACLE)
 
     # -- round-2 training-data pipeline extras (components / packing /
@@ -781,33 +972,21 @@ def registry() -> tuple[
     for name, fn, sql in llm_extras.ENTRIES:
         add(name, fn, sql)
 
-    # -- TPC-H-style SQL parity flagships
+    # -- TPC-H-style SQL parity flagships (q5+q6 melted: r3 window repack)
     add(
         "tpch_q1_pricing_summary",
         catalog.q_tpch_q1_pricing_summary,
         catalog._ORACLES["tpch_q1_pricing_summary"],
     )
     add("tpch_q3_shipping", catalog.q_tpch_q3_shipping, catalog._ORACLES["tpch_q3_shipping"])
-    add(
-        "tpch_q5_local_supplier",
-        catalog.q_tpch_q5_local_supplier,
-        catalog._ORACLES["tpch_q5_local_supplier"],
-    )
-    add("tpch_q6_forecast", catalog.q_tpch_q6_forecast, catalog._ORACLES["tpch_q6_forecast"])
+    add("tpch_q5_q6_suite", q_tpch_q5_q6_suite, _TPCH_Q5_Q6_ORACLE)
     add("w7_ranking_suite", catalog.q_w7_ranking_suite, catalog._ORACLES["w7_ranking_suite"])
 
-    # -- beyond-reference extras (outside the ~50-entry driver window these
-    # may go unverified by the driver; the local mirror still runs them all)
-    add("a7_percentiles", catalog_ext2.q_a7_percentiles, catalog_ext2._A7_ORACLE)
-    add("a6_a8_pivot_unpivot", q_a6_a8_pivot_unpivot, catalog_ext2._A8_ORACLE)
-    add("a9_a10_rollup_cube", q_a9_a10_rollup_cube, _A9_A10_ORACLE)
-    add("a11_approx_distinct", catalog_ext2.q_a11_approx_distinct)  # rows-only (HLL)
-    add(
-        "set_intersect_except",
-        catalog_ext.q_set_intersect_except,
-        catalog_ext.ORACLES_EXT["set_intersect_except"],
-    )
-    # rows-only (LCS DP has no SQL mirror; pinned by tests/test_fuzzy_indel.py
-    # against an independent DP oracle) — parked past the verify window
-    add("j2_fuzzy_indel_topk", catalog_ext.q_j2_fuzzy_indel_topk)
+    # -- beyond-reference agg extras, melted into ONE oracled suite so the
+    # registry is 100% inside the driver's verify window (r2 VERDICT #8).
+    # The A11 HLL entry became a checkable tolerance contract; the fuzzy
+    # InDel tier left the registry (no SQL mirror by nature — it remains a
+    # library operator, DP-oracle-pinned by tests/test_fuzzy_indel.py, and
+    # its native-expression sibling j2_fuzzy_topk stays oracled above).
+    add("agg_extras_suite", q_agg_extras_suite, _agg_extras_oracle())
     return q, o

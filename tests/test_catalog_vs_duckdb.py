@@ -65,21 +65,30 @@ QUERY_NAMES = sorted(entrymod.queries().keys())
 def test_query_matches_oracle(spark, ddb, name):
     q = entrymod.queries()[name]
     oracles = entrymod.oracle_sql()
+
+    def assert_scalar_only(rows):
+        # The driver canonicalizes EVERY entry (oracled or rows-only) by
+        # sorting a pandas frame: list/dict-valued columns crash it (r01
+        # mm_media_features, r02 pipeline_extract lessons). Gate outputs
+        # must be scalar-only — asserted for BOTH branches.
+        for r in rows:
+            for v in r:
+                assert not isinstance(v, (list, dict, set)), (
+                    f"{name}: unsortable {type(v).__name__} value in gate output"
+                )
+
     if name not in oracles:
         df = q(spark, SF_DIR)
-        assert df.count() >= 0  # rows-only check, like the driver
+        sample = df.limit(50).collect()
+        assert_scalar_only(sample)
+        # a rows-only gate that returns an empty relation is
+        # indistinguishable from a broken one (r02 pipeline_quarantine)
+        assert len(sample) > 0, f"{name}: vacuous rows-only gate (0 rows)"
         return
     sdf = q(spark, SF_DIR)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
-    # The driver canonicalizes by sorting a pandas frame: list/dict-valued
-    # columns crash it (r01 mm_media_features lesson). Gate outputs must be
-    # scalar-only.
-    for r in s_rows[:50]:
-        for v in r:
-            assert not isinstance(v, (list, dict, set)), (
-                f"{name}: unsortable {type(v).__name__} value in gate output"
-            )
+    assert_scalar_only(s_rows[:50])
     # fetchdf (not fetchall): the driver compares through pandas, where
     # DuckDB HUGEINT/DECIMAL aggregates coerce to float64 — fetchall would
     # hand us Python ints and hide exactly that dtype drift.
