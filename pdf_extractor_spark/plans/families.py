@@ -79,7 +79,79 @@ def q_family_statement_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("v"),
     )
-    return apple.unionByName(bofa)
+
+    # wells fargo bank CSV (round 3): render a FILE/PATH provenance header +
+    # two positional rows per order, then RECOVER the statement date through
+    # the filename-first ladder (wellsfargo_bank_csv_parser.py:82-113) —
+    # original_filename -> input_path -> last_row — entirely natively.
+    wd = F.col("o_orderdate").cast("date")
+    mod3 = F.col("o_orderkey") % 3
+    fname = F.when(
+        mod3 == 0,
+        F.concat(
+            F.lit("wellsfargo_bank_"),
+            F.date_format(F.date_add(wd, 10), "yyyyMMdd"),
+            F.lit(".csv"),
+        ),
+    ).otherwise(F.lit("wellsfargo_bank_export.csv"))
+    wpath = F.when(
+        mod3 == 1,
+        F.concat(
+            F.lit("exports/wf/stmt_"),
+            F.date_format(F.date_add(wd, 20), "yyyyMMdd"),
+            F.lit(".csv"),
+        ),
+    ).otherwise(F.lit("exports/wf/latest.csv"))
+    wamt = _money(_cents(F.col("o_totalprice")))
+    wtxt = F.concat_ws(
+        "\n",
+        F.concat(F.lit("FILE: "), fname),
+        F.concat(F.lit("PATH: "), wpath),
+        F.concat(F.date_format(wd, "MM/dd/yyyy"), F.lit(","), wamt, F.lit(",*,,A")),
+        F.concat(
+            F.date_format(F.date_add(wd, 5), "MM/dd/yyyy"),
+            F.lit(","),
+            wamt,
+            F.lit(",*,1234,B"),
+        ),
+    )
+    f8 = F.regexp_extract(wtxt, r"FILE: [^\n]*?(\d{8})", 1)
+    p8 = F.regexp_extract(wtxt, r"PATH: [^\n]*?(\d{8})", 1)
+
+    def _iso8(col):  # yyyymmdd -> yyyy-MM-dd
+        return F.concat(
+            F.substring(col, 1, 4), F.lit("-"),
+            F.substring(col, 5, 2), F.lit("-"),
+            F.substring(col, 7, 2),
+        )
+
+    row_dates = F.regexp_extract_all(wtxt, F.lit(r"(\d{2}/\d{2}/\d{4}),"), 1)
+    last_mdy = F.element_at(row_dates, -1)
+    last_iso = F.concat(
+        F.substring(last_mdy, 7, 4), F.lit("-"),
+        F.substring(last_mdy, 1, 2), F.lit("-"),
+        F.substring(last_mdy, 4, 2),
+    )
+    stmt_date = (
+        F.when(f8 != "", _iso8(f8)).when(p8 != "", _iso8(p8)).otherwise(last_iso)
+    )
+    src = (
+        F.when(f8 != "", F.lit("original_filename"))
+        .when(p8 != "", F.lit("input_path"))
+        .otherwise(F.lit("last_row"))
+    )
+    wfb = orders.select(
+        F.lit("wf_bank_csv").alias("variant"),
+        F.col("o_orderkey").cast("long").alias("k"),
+        stmt_date.alias("s1"),
+        src.alias("s2"),
+        F.regexp_replace(
+            F.regexp_extract(wtxt, r"\n\d{2}/\d{2}/\d{4},([^,]*),", 1), ",", ""
+        )
+        .cast("double")
+        .alias("v"),
+    )
+    return apple.unionByName(bofa).unionByName(wfb)
 
 
 _FAMILY_SUITE_ORACLE = rf"""
@@ -120,10 +192,34 @@ _FAMILY_SUITE_ORACLE = rf"""
                CAST(mmdd[1:2] AS INT), CAST(mmdd[4:5] AS INT)), '%Y-%m-%d') AS s1,
              descr AS s2,
              CAST(amt AS DOUBLE) AS v
-      FROM b1)
+      FROM b1),
+    w0 AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d, o_orderkey % 3 AS m3,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    w1 AS (
+      SELECT o_orderkey,
+             (CAST(cents // 100 AS VARCHAR) || '.'
+               || lpad(CAST(cents % 100 AS VARCHAR), 2, '0')) AS amt,
+             CASE WHEN m3 = 0 THEN strftime(d + 10, '%Y%m%d') ELSE '' END AS f8,
+             CASE WHEN m3 = 1 THEN strftime(d + 20, '%Y%m%d') ELSE '' END AS p8,
+             strftime(d + 5, '%Y-%m-%d') AS last_iso
+      FROM w0),
+    wfb AS (
+      SELECT 'wf_bank_csv' AS variant, CAST(o_orderkey AS BIGINT) AS k,
+             CASE WHEN f8 <> '' THEN substr(f8,1,4)||'-'||substr(f8,5,2)||'-'||substr(f8,7,2)
+                  WHEN p8 <> '' THEN substr(p8,1,4)||'-'||substr(p8,5,2)||'-'||substr(p8,7,2)
+                  ELSE last_iso END AS s1,
+             CASE WHEN f8 <> '' THEN 'original_filename'
+                  WHEN p8 <> '' THEN 'input_path'
+                  ELSE 'last_row' END AS s2,
+             CAST(amt AS DOUBLE) AS v
+      FROM w1)
     SELECT variant, k, s1, s2, v FROM apple
     UNION ALL
     SELECT variant, k, s1, s2, v FROM bofa
+    UNION ALL
+    SELECT variant, k, s1, s2, v FROM wfb
 """
 
 

@@ -126,14 +126,15 @@ _COMPONENTS_ORACLE = f"""
 PACK_BUDGET = 2048
 
 
-def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing: per language, documents in deterministic (doc_id)
-    order are laid into fixed token-budget bins; bin id and in-bin offset
-    come from the running token sum — one window cumsum, no loop. This is
-    the contiguous-packing approximation training pipelines use to batch
-    variable-length documents. Scale: one shuffle on the stratum key; the
-    cumsum is a per-partition running sum."""
-    docs = _t(spark, sf_dir, "documents")
+def pack_sequences_window(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Sequence packing, window formulation: per language, documents in
+    deterministic (doc_id) order are laid into fixed token-budget bins; bin
+    id and in-bin offset come from the running token sum. SCALE WARNING
+    (r2 VERDICT #4): Window.partitionBy(lang) funnels each language stratum
+    through ONE reducer — with ~5 strata that is parallelism 5 over the
+    whole corpus. This formulation exists as the ORACLE-parity shape for
+    small inputs; the production path is ``pack_sequences_distributed``
+    below (identical output, no per-stratum reducer); tests pin equality."""
     n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
     w = (
         Window.partitionBy("lang")
@@ -145,9 +146,81 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         n_tok.alias("n_tokens"),
-        F.floor(cum_before / PACK_BUDGET).cast("long").alias("bin_id"),
-        (cum_before % PACK_BUDGET).cast("long").alias("bin_offset"),
+        F.floor(cum_before / budget).cast("long").alias("bin_id"),
+        (cum_before % budget).cast("long").alias("bin_offset"),
     )
+
+
+def pack_sequences_distributed(
+    docs: DataFrame, budget: int = PACK_BUDGET, num_partitions: int | None = None
+) -> DataFrame:
+    """Sequence packing WITHOUT a per-stratum single reducer — the same
+    two-pass shape as operators/order.py:with_sequential_id_distributed:
+
+      1. range-partition + sort by (lang, doc_id): partitions hold disjoint
+         ordered (lang, doc_id) ranges, so a language stratum spans a RUN of
+         partitions instead of collapsing onto one reducer;
+      2. per-(partition, lang) token sums — a tiny agg (#partitions x #langs
+         rows) — turned into per-(partition, lang) starting offsets by a
+         cumulative window over that tiny relation;
+      3. within-partition running sum (parallel: partitionBy the physical
+         partition id) + broadcast-joined offset.
+
+    The checkpoint pins ONE range partitioning so the offsets describe the
+    same boundaries the running sums run on (range-boundary sampling is not
+    guaranteed consistent across re-evaluations — same hazard as the seq-id
+    operator). Output equals the window formulation whenever (lang, doc_id)
+    is a total order; tests/test_pack_distributed.py pins equality at >=2
+    partitions per stratum."""
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    base = docs.select("doc_id", "lang", n_tok.alias("n_tokens"))
+    keys = [F.col("lang"), F.col("doc_id")]
+    if num_partitions:
+        ranged = base.repartitionByRange(num_partitions, *keys)
+    else:
+        ranged = base.repartitionByRange(*keys)
+    part = ranged.sortWithinPartitions(*keys).withColumn("_pid", F.spark_partition_id())
+    if docs.sparkSession.sparkContext.getCheckpointDir() is not None:
+        part = part.checkpoint(eager=False)
+    else:
+        part = part.localCheckpoint(eager=False)
+    sums = part.groupBy("_pid", "lang").agg(F.sum("n_tokens").alias("_ptok"))
+    woff = (
+        Window.partitionBy("lang")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = sums.select(
+        "_pid", "lang", (F.sum("_ptok").over(woff) - F.col("_ptok")).alias("_loff")
+    )
+    wlocal = (
+        Window.partitionBy("_pid", "lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = (
+        F.coalesce(F.sum("n_tokens").over(wlocal), F.lit(0).cast("long"))
+        + F.col("_loff")
+    )
+    return (
+        part.join(F.broadcast(offsets), ["_pid", "lang"])
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.floor(cum_before / budget).cast("long").alias("bin_id"),
+            (cum_before % budget).cast("long").alias("bin_offset"),
+        )
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing gate — runs the DISTRIBUTED two-pass implementation
+    (the 100 TB path) against the window-formulation SQL oracle, so the
+    driver verifies the production shape end-to-end. num_partitions=8 at
+    gate scale forces strata to actually straddle partition boundaries."""
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences_distributed(docs, num_partitions=8)
 
 
 _PACK_ORACLE = f"""

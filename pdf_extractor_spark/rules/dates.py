@@ -213,6 +213,18 @@ def _fuzzy_after_through(text: str) -> str | None:
     return da.date().isoformat()
 
 
+def parse_date_mdy_strict(raw: str | None) -> str | None:
+    """Strict ``%m/%d/%Y`` only (wellsfargo_bank_csv_parser.py:47-52): the
+    bank-CSV family does NOT fall through the multi-format R7 ladder — any
+    other shape is None (and quarantines downstream)."""
+    if not raw:
+        return None
+    try:
+        return _dt.datetime.strptime(raw.strip(), "%m/%d/%Y").strftime("%Y-%m-%d")
+    except ValueError:
+        return None
+
+
 def date_from_filename(name: str) -> str | None:
     """R10: first ``\\d{8}`` run parsed as YYYYMMDD (utils/utils.py:129-139)."""
     m = _FILENAME_8.search(name)

@@ -46,6 +46,9 @@ DETECTION_ORDER: tuple[str, ...] = (
     "chase_visa_csv",
     "csv_capitalone",
     "capitalone_print",
+    # bank CSV BEFORE checking CSV: its rows also match the checking row
+    # shape when the check column is empty; the FILE: marker disambiguates
+    "wf_bank_csv",
     "csv_wf_checking",
     "noisy_desc",
     "date_edges",
@@ -100,6 +103,8 @@ def detect_family(text: str) -> str:
         return "csv_capitalone"
     if _CAPONE_PRINT_HEADER.search(text):
         return "capitalone_print"  # capitalone_visa_print_parser.py:83-86
+    if low.startswith("file: wellsfargo_bank"):
+        return "wf_bank_csv"  # wellsfargo_bank_csv_parser.py (dir-routed in ref)
     if _WF_CHECKING_ROW.search(text):
         return "csv_wf_checking"
     if low.startswith("memo "):

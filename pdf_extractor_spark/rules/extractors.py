@@ -1094,6 +1094,62 @@ def extract_csv_wf_checking(text: str) -> ExtractResult:
     return ExtractResult(records, hits, None)
 
 
+# --- wells fargo bank CSV (wellsfargo_bank_csv_parser.py:55-133) -------------
+
+_WFB_FILE = re.compile(r"^FILE:\s*(.+)$", re.MULTILINE)
+_WFB_PATH = re.compile(r"^PATH:\s*(.+)$", re.MULTILINE)
+# positional 5-col split: any amount cell (coerced later), optional check
+# number, description keeps its tail verbatim (pd.read_csv names= alignment)
+_WFB_ROW = re.compile(r"^(\d{1,2}/\d{1,2}/\d{4}),([^,]*),\*,([^,]*),(.*)$")
+
+
+def extract_wf_bank_csv(text: str) -> ExtractResult:
+    """Wells Fargo BANK-account CSV export (wellsfargo_bank_csv_parser.py:
+    55-133) — distinct from the checking-CSV family by its optional
+    check-number column and its filename-FIRST statement-date ladder:
+
+    - strict ``%m/%d/%Y`` date (:47-52; None on any other shape),
+    - amount coerced to 0.0 on failure (:35-44 — NOT None: an unparseable
+      amount never quarantines this family, mirroring parse_amount),
+    - provenance ladder (:82-113): original_filename -> input_path ->
+      last_row, recorded with the reference's statement_date_source enum as
+      a rule-hit key (models.py StatementMetadata.statement_date_source).
+    """
+    hits: dict[str, int] = {}
+    records: list[Record] = []
+    valid_dates: list[str] = []
+    for ln in split_lines(text):
+        m = _WFB_ROW.match(ln.text)
+        if not m:
+            continue
+        iso = D.parse_date_mdy_strict(m.group(1))
+        amt = clean_amount_or_zero(m.group(2))
+        desc = TN.normalize_description(m.group(4))
+        if iso:
+            valid_dates.append(iso)
+        records.append(Record(iso, amt, desc, "Unknown", ln.start, ln.end))
+        _hit(hits, "wfb_csv_row")
+    stmt: str | None = None
+    source: str | None = None
+    mf = _WFB_FILE.search(text)
+    if mf:
+        stmt = D.date_from_filename(mf.group(1))
+        if stmt:
+            source = "original_filename"
+    if stmt is None:
+        mp = _WFB_PATH.search(text)
+        if mp:
+            stmt = D.date_from_filename(mp.group(1))
+            if stmt:
+                source = "input_path"
+    if stmt is None and valid_dates:
+        stmt = valid_dates[-1]
+        source = "last_row"
+    if source:
+        _hit(hits, f"r10_statement_source_{source}")
+    return ExtractResult(records, hits, None)
+
+
 # --- noisy descriptions (transaction_normalizer.py:381-407) ------------------
 
 
@@ -1232,6 +1288,7 @@ EXTRACTORS = {
     "wf_bank_layout": extract_wf_bank_layout,
     "amazon_order": extract_amazon_order,
     "csv_capitalone": extract_csv_capitalone,
+    "wf_bank_csv": extract_wf_bank_csv,
     "csv_wf_checking": extract_csv_wf_checking,
     "noisy_desc": extract_noisy_desc,
     "date_edges": extract_date_edges,

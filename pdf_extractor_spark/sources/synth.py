@@ -412,6 +412,34 @@ _NOISE = ("POS DEBIT 1234 ", "ACH CREDIT 99 ", "REF 4521 ", "TRANS 777 ",
           "PURCHASE AUTH 55 ", "5678* ")
 
 
+def gen_wf_bank_csv(rng: random.Random) -> str:
+    """Wells Fargo BANK CSV export: FILE/PATH provenance header + headerless
+    date,amount,*,check,description rows. The three branches exercise every
+    rung of the statement-date ladder (original_filename -> input_path ->
+    last_row); the occasional 'N/A' amount exercises the coerce-to-0.0 path
+    (which must NOT quarantine)."""
+    rung = rng.random()
+    if rung < 0.4:
+        fname = f"wellsfargo_bank_{rng.choice(('20240131', '20231231'))}.csv"
+        path = "exports/wf/batch.csv"
+    elif rung < 0.7:
+        fname = "wellsfargo_bank_export.csv"
+        path = f"exports/wf/2024/stmt_{rng.choice(('20240229', '20240331'))}.csv"
+    else:
+        fname = "wellsfargo_bank_export.csv"
+        path = "exports/wf/latest.csv"
+    lines = [f"FILE: {fname}", f"PATH: {path}"]
+    for _ in range(rng.randint(2, 5)):
+        check = str(rng.randint(1000, 9999)) if rng.random() < 0.3 else ""
+        amt = f"{round(rng.uniform(-500, 2500), 2)}"
+        if rng.random() < 0.1:
+            amt = "N/A"
+        lines.append(
+            f"{rng.randint(1,12):02d}/{rng.randint(1,28):02d}/2024,{amt},*,{check},{_merch(rng)}"
+        )
+    return "\n".join(lines)
+
+
 def gen_noisy_desc(rng: random.Random) -> str:
     lines = []
     for _ in range(rng.randint(2, 5)):
@@ -495,6 +523,7 @@ FAMILY_GENERATORS = (
     ("csv_capitalone", gen_csv_capitalone),
     ("chase_visa_csv", gen_chase_visa_csv),
     ("capitalone_print", gen_capitalone_print),
+    ("wf_bank_csv", gen_wf_bank_csv),
     ("csv_wf_checking", gen_csv_wf_checking),
     ("noisy_desc", gen_noisy_desc),
     ("date_edges", gen_date_edges),

@@ -294,3 +294,80 @@ def test_csv_header_requires_cell_match_not_substring():
     assert extract_turn(
         "Transaction Date  Post Date  Description  Amount\nrow"
     ).family != "chase_visa_csv"
+
+
+# --- wells fargo bank CSV (round 3: the 22nd family) -------------------------
+
+WFB_FIXTURE_FILENAME = """FILE: wellsfargo_bank_20240131.csv
+PATH: exports/wf/batch.csv
+01/05/2024,120.50,*,1234,CHECK PAYMENT
+01/07/2024,-45.00,*,,GROCERY STORE"""
+
+WFB_FIXTURE_PATH = """FILE: wellsfargo_bank_export.csv
+PATH: exports/wf/2024/stmt_20240229.csv
+01/05/2024,N/A,*,,MYSTERY FEE"""
+
+WFB_FIXTURE_LASTROW = """FILE: wellsfargo_bank_export.csv
+PATH: exports/wf/latest.csv
+01/05/2024,10.00,*,,A
+02/09/2024,20.00,*,9999,B"""
+
+
+def test_wf_bank_csv_provenance_ladder():
+    """The filename-first statement-date ladder with the reference's source
+    enum (wellsfargo_bank_csv_parser.py:82-113)."""
+    from pdf_extractor_spark.rules.extractors import extract_wf_bank_csv
+
+    r1 = extract_wf_bank_csv(WFB_FIXTURE_FILENAME)
+    assert r1.hits.get("r10_statement_source_original_filename") == 1
+    r2 = extract_wf_bank_csv(WFB_FIXTURE_PATH)
+    assert r2.hits.get("r10_statement_source_input_path") == 1
+    r3 = extract_wf_bank_csv(WFB_FIXTURE_LASTROW)
+    assert r3.hits.get("r10_statement_source_last_row") == 1
+
+
+def test_wf_bank_csv_amount_coerce_and_strict_date():
+    """parse_amount -> 0.0 on failure (never quarantines); parse_date is
+    strict %m/%d/%Y (wellsfargo_bank_csv_parser.py:35-52)."""
+    na = extract_turn(WFB_FIXTURE_PATH)
+    assert na.family == "wf_bank_csv"
+    assert na.valid  # N/A amount coerces to 0.0, does NOT quarantine
+    assert "|0.0|" in na.extracted_text
+    bad_date = extract_turn(
+        "FILE: wellsfargo_bank_x.csv\nPATH: p.csv\n2024-01-05,10.00,*,,ISO SHAPE"
+    )
+    # an ISO-shaped date row doesn't match the positional row regex at all
+    # (reference pd.read_csv would align it but strptime returns None);
+    # a matching row with an impossible date quarantines:
+    bad2 = extract_turn(
+        "FILE: wellsfargo_bank_x.csv\nPATH: p.csv\n13/45/2024,10.00,*,,BAD"
+    )
+    assert bad_date.n_records == 0
+    assert not bad2.valid and bad2.problem_reason == "missing_or_unparseable_date"
+
+
+def test_wf_bank_csv_detection_beats_checking_alias():
+    """A bank-CSV turn whose rows ALSO match the checking-CSV row shape
+    (empty check column) must route to wf_bank_csv via the FILE marker —
+    detection-order contract."""
+    from pdf_extractor_spark.rules.doctype import detect_family
+
+    assert detect_family(WFB_FIXTURE_FILENAME) == "wf_bank_csv"
+    # and without the marker, the same rows stay with the checking family
+    rows_only = "01/07/2024,-45.00,*,,GROCERY STORE"
+    assert detect_family(rows_only) == "csv_wf_checking"
+
+
+def test_wf_bank_csv_every_synth_turn_routes_home():
+    from pdf_extractor_spark.sources.synth import gen_wf_bank_csv
+
+    sources = set()
+    for seed in range(60):
+        t = gen_wf_bank_csv(random.Random(seed))
+        r = extract_turn(t)
+        assert r.family == "wf_bank_csv"
+        assert r.rule_hits.get("wfb_csv_row", 0) >= 2
+        for k in r.rule_hits:
+            if k.startswith("r10_statement_source_"):
+                sources.add(k.removeprefix("r10_statement_source_"))
+    assert sources == {"original_filename", "input_path", "last_row"}

@@ -1,0 +1,54 @@
+"""Equality pin: pack_sequences_distributed == pack_sequences_window
+(r2 VERDICT #3). The distributed two-pass cumsum must produce byte-identical
+(bin_id, bin_offset) assignments while actually splitting each language
+stratum across >= 2 range partitions — asserted via the physical partition
+count so the test can't silently degenerate to the single-reducer case."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.plans.llm_extras import (
+    pack_sequences_distributed,
+    pack_sequences_window,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_distributed_equals_window(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    want = {
+        (r.doc_id, r.lang, r.n_tokens, r.bin_id, r.bin_offset)
+        for r in pack_sequences_window(docs).collect()
+    }
+    got = {
+        (r.doc_id, r.lang, r.n_tokens, r.bin_id, r.bin_offset)
+        for r in pack_sequences_distributed(docs, num_partitions=16).collect()
+    }
+    assert got == want
+
+
+def test_strata_actually_straddle_partitions(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base = docs.select("doc_id", "lang").repartitionByRange(
+        16, F.col("lang"), F.col("doc_id")
+    )
+    spread = (
+        base.withColumn("_pid", F.spark_partition_id())
+        .groupBy("lang")
+        .agg(F.countDistinct("_pid").alias("n_parts"))
+        .collect()
+    )
+    assert spread, "no strata found"
+    assert all(r.n_parts >= 2 for r in spread), (
+        f"a stratum collapsed onto one partition: {spread}"
+    )
+
+
+def test_distributed_respects_budget_boundaries(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    out = pack_sequences_distributed(docs, budget=512, num_partitions=4).collect()
+    for r in out:
+        assert 0 <= r.bin_offset < 512
+        assert r.bin_id >= 0

@@ -34,6 +34,7 @@ def test_detection_order_is_pinned():
         "chase_visa_csv",
         "csv_capitalone",
         "capitalone_print",
+        "wf_bank_csv",  # before csv_wf_checking: rows alias when check col empty
         "csv_wf_checking",
         "noisy_desc",
         "date_edges",
