@@ -53,6 +53,7 @@ def _headline():
         ("sim_ivf_topk", catalog_ext.q_sim_ivf_topk),
         # round-2 pipeline ops
         ("dedup_components", llm_extras.q_dedup_components),
+        ("dedup_components_star", llm_extras.q_dedup_components_star),
         ("pack_sequences", llm_extras.q_pack_sequences),
         ("sample_stratified", llm_extras.q_sample_stratified),
         ("tfidf_topk", llm_extras.q_tfidf_topk),
@@ -90,14 +91,18 @@ def _bench_transcripts(spark, sf_dir: str, n_convs: int | None = None):
     # benchmarking stale bytes
     gen_h = hashlib.md5(inspect.getsource(synth).encode()).hexdigest()[:8]
     path = _REPO / ".cache" / f"transcripts_c{n_convs}_s42_{gen_h}.parquet"
-    # prune stale corpora for this size (old generator hashes are never
-    # matched again; without this every generator edit strands a corpus)
-    for old in (_REPO / ".cache").glob(f"transcripts_c{n_convs}_s42_*.parquet"):
-        if old != path:
-            import shutil
-
-            shutil.rmtree(old, ignore_errors=True)
     if not path.exists():
+        # prune stale corpora for this size ONLY when about to regenerate
+        # (old generator hashes are never matched again; without this every
+        # generator edit strands a corpus). Pruning unconditionally could
+        # delete a corpus a CONCURRENT bench started with different
+        # generator code is actively scanning (the r2-10 scenario) — when
+        # our corpus already exists, siblings are left alone.
+        for old in (_REPO / ".cache").glob(f"transcripts_c{n_convs}_s42_*.parquet"):
+            if old != path:
+                import shutil
+
+                shutil.rmtree(old, ignore_errors=True)
         # many small files -> ~0.5s tasks: smooth scheduling (no wave
         # quantization / straggler tail) at every parallelism level
         generate_transcripts_distributed(spark, n_convs, seed=42, partitions=256).write.mode(

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 
 
 def main() -> None:
@@ -35,14 +36,35 @@ def main() -> None:
 
     spark = get_spark("ingest_job")
     good, quarantine = read_transcripts(spark, args.input, args.format)
+    # this run's ingested rows, counted BEFORE the append (table_rows below
+    # is the cumulative post-append table size — both are reported so
+    # repeated runs stay unambiguous)
+    rows_ingested = good.count()
     good.write.mode("append").parquet(args.output)
-    n_good = spark.read.parquet(args.output).count()
+    n_table = spark.read.parquet(args.output).count()
     n_bad = quarantine.count()
+    dropped = False
     if n_bad and args.quarantine:
         quarantine.write.mode("append").parquet(args.quarantine)
+    elif n_bad:
+        # the module contract says corrupt lines never vanish silently: with
+        # no --quarantine sink they ARE dropped, so say so loudly in both
+        # streams rather than bury it in a count
+        dropped = True
+        print(
+            f"WARNING: {n_bad} corrupt lines DROPPED (no --quarantine path "
+            "given); re-run with --quarantine to keep them",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
-            {"format": args.format, "table_rows": n_good, "corrupt_lines": n_bad}
+            {
+                "format": args.format,
+                "rows_ingested": rows_ingested,
+                "table_rows": n_table,
+                "corrupt_lines": n_bad,
+                "corrupt_lines_dropped": dropped,
+            }
         )
     )
     spark.stop()

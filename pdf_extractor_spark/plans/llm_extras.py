@@ -93,6 +93,92 @@ def near_dup_components(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id
     )
 
 
+def near_dup_components_star(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Connected components by alternating Large-Star/Small-Star rounds
+    (Kiveris et al., 'Connected Components in MapReduce and Beyond'): the
+    adversarial-graph variant promised by near_dup_components' docstring.
+    Propagation needs O(diameter) rounds (pointer-jumping: O(log diameter));
+    star operations converge in O(log^2 n) WITHOUT assuming short diameter —
+    the safe choice when the near-dup graph has long chains (e.g. template
+    drift where doc_i ~ doc_{i+1} but doc_0 !~ doc_n).
+
+      large-star: for each node u, every strictly-larger neighbor v gets an
+        edge to m = min(neighbors(u) + {u});
+      small-star: orient edges parent-ward (u > v), every neighbor AND u
+        itself re-attach to the minimum.
+
+    Each round is two shuffles on the node key; edge relations are
+    localCheckpointed per round to cut iterative lineage. Convergence test
+    is a two-sided anti-join emptiness probe (no data collected)."""
+    nodes = docs.select(F.col(id_col).alias("node")).distinct()
+    edges = (
+        pairs.select(F.col("d1").alias("u"), F.col("d2").alias("v"))
+        .union(pairs.select(F.col("d2").alias("u"), F.col("d1").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        # large-star over the bidirected relation
+        bid = (
+            edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct()
+        )
+        lmin = bid.groupBy("u").agg(F.min("v").alias("mv"))
+        lm = lmin.select("u", F.least("u", "mv").alias("m"))
+        large = (
+            bid.join(lm, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over the parent-ward orientation
+        ori = (
+            large.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        smin = ori.groupBy("u").agg(F.min("v").alias("m"))
+        attach_neighbors = (
+            ori.join(smin, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+        )
+        attach_self = smin.select("u", F.col("m").alias("v"))
+        new = attach_neighbors.union(attach_self).distinct().localCheckpoint(eager=True)
+        changed = (
+            new.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(new).limit(1).count()
+        )
+        edges = new
+        if changed == 0:
+            break
+    # at convergence the edge set is a forest of stars (u -> component min)
+    parents = edges.groupBy("u").agg(F.min("v").alias("root"))
+    labels = nodes.join(parents, nodes.node == parents.u, "left").select(
+        "node", F.coalesce("root", F.col("node")).alias("comp")
+    )
+    return labels.select(
+        F.col("node").alias(id_col),
+        F.col("comp").alias("component"),
+        (F.col("comp") == F.col("node")).alias("is_canonical"),
+    )
+
+
+def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-variant components over the same bounded MinHash+LSH pair
+    relation (bench sibling of q_dedup_components; equality pinned by
+    tests/test_components_star.py, oracle shared via the equality)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    pairs = minhash_lsh_pairs(docs, threshold=0.9)
+    return near_dup_components_star(docs.select("doc_id"), pairs)
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Components over the bounded MinHash+LSH near-dup pairs (same pair
     relation as the dedup_minhash_suite 'bounded' variant): canonical doc =

@@ -62,13 +62,17 @@ def looks_like_html(text: str) -> bool:
     """Markers must appear near the START of the payload: a statement turn
     whose free text merely mentions '<body' deep inside (e.g. a description
     quoting markup) must not be rerouted to the html family and lose its
-    transaction records."""
+    transaction records. Payloads that clearly START with markup — a
+    fragment opening with <head>, a comment, or any tag — get the deeper
+    '<body' window (2048 chars) so a long head section (meta/style/script
+    before body) still routes home; only prose-leading payloads keep the
+    tight 256-char bound (the deep-mention guard)."""
     low = text.lstrip().lower()
-    return (
-        low.startswith("<!doctype html")
-        or low.startswith("<html")
-        or "<body" in low[:256]
-    )
+    if low.startswith(("<!doctype html", "<html")):
+        return True
+    starts_with_markup = low.startswith(("<head", "<!--", "<body", "<meta", "<"))
+    window = 2048 if starts_with_markup else 256
+    return "<body" in low[:window]
 
 
 def _unescape(s: str) -> str:

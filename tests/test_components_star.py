@@ -1,0 +1,60 @@
+"""Large-Star/Small-Star connected components: equality vs the min-label
+propagation variant on the real near-dup pair relation, plus adversarial
+long-chain and disjoint-cluster graphs where star convergence (O(log^2 n)
+rounds) is the point."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.plans.llm_extras import (
+    near_dup_components,
+    near_dup_components_star,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "d1 long, d2 long")
+
+
+def _docs(spark, n):
+    return spark.range(n).select(F.col("id").alias("doc_id"))
+
+
+def test_star_equals_propagation_on_long_chain(spark):
+    """Path graph 0-1-2-...-59: diameter 59 — the shape the propagation
+    docstring flags as adversarial."""
+    docs = _docs(spark, 60)
+    pairs = _pairs(spark, [(i, i + 1) for i in range(59)])
+    star = {(r.doc_id, r.component) for r in near_dup_components_star(docs, pairs).collect()}
+    prop = {(r.doc_id, r.component) for r in near_dup_components(docs, pairs).collect()}
+    assert star == prop
+    assert star == {(i, 0) for i in range(60)}
+
+
+def test_star_handles_disjoint_clusters_and_singletons(spark):
+    docs = _docs(spark, 12)
+    # two clusters {0..3}, {7,8,9} (ring), singletons 4,5,6,10,11
+    pairs = _pairs(spark, [(0, 1), (1, 2), (2, 3), (7, 8), (8, 9), (9, 7)])
+    got = {(r.doc_id, r.component, r.is_canonical) for r in
+           near_dup_components_star(docs, pairs).collect()}
+    want = {(i, 0, i == 0) for i in range(4)}
+    want |= {(i, 7, i == 7) for i in (7, 8, 9)}
+    want |= {(i, i, True) for i in (4, 5, 6, 10, 11)}
+    assert got == want
+
+
+def test_star_equals_propagation_on_real_minhash_pairs(spark):
+    from pdf_extractor_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").where(
+        F.col("doc_id") < 500
+    )
+    pairs = minhash_lsh_pairs(docs, threshold=0.9)
+    star = {tuple(r) for r in
+            near_dup_components_star(docs.select("doc_id"), pairs).collect()}
+    prop = {tuple(r) for r in
+            near_dup_components(docs.select("doc_id"), pairs).collect()}
+    assert star == prop
