@@ -63,10 +63,10 @@ def detect_family(text: str) -> str:
     SURVEY.md §2.1); our synthetic families carry bank-name headers the same
     way real statements do.
     """
-    low = text.lower()
     from .html import looks_like_html
 
-    if looks_like_html(text):
+    low = text.lower()
+    if looks_like_html(text, lowered=low):
         return "html_page"
     if "transpostreference number description credits charges" in low:
         return "wf_mastercard"

@@ -58,7 +58,7 @@ class HtmlLine(NamedTuple):
     link_density: float
 
 
-def looks_like_html(text: str) -> bool:
+def looks_like_html(text: str, lowered: str | None = None) -> bool:
     """Markers must appear near the START of the payload: a statement turn
     whose free text merely mentions '<body' deep inside (e.g. a description
     quoting markup) must not be rerouted to the html family and lose its
@@ -66,8 +66,11 @@ def looks_like_html(text: str) -> bool:
     fragment opening with <head>, a comment, or any tag — get the deeper
     '<body' window (2048 chars) so a long head section (meta/style/script
     before body) still routes home; only prose-leading payloads keep the
-    tight 256-char bound (the deep-mention guard)."""
-    low = text.lstrip().lower()
+    tight 256-char bound (the deep-mention guard). ``lowered``: the caller's
+    already-lowercased copy of ``text`` (detect_family computes one anyway)
+    — avoids a second full-string lower(); lstrip-after-lower equals
+    lower-after-lstrip since lowercasing never touches whitespace."""
+    low = (lowered if lowered is not None else text.lower()).lstrip()
     if low.startswith(("<!doctype html", "<html")):
         return True
     starts_with_markup = low.startswith(("<head", "<!--", "<body", "<meta", "<"))

@@ -30,6 +30,10 @@ class TurnResult(NamedTuple):
     n_records: int
 
 
+# per-turn f-string avoided in the hot loop: keys precomputed per family
+_FAMILY_HIT_KEY = {f: f"family_{f}" for f in (*EXTRACTORS, "freeform", "null")}
+
+
 def _record_problem(r: Record) -> str | None:
     """P5 reasons in reference check order (transaction_normalizer.py:41-65)."""
     if not r.date:
@@ -58,7 +62,7 @@ def extract_turn(text: str | None) -> TurnResult:
     family = detect_family(text)
     result = EXTRACTORS[family](text)
     hits = dict(result.hits)
-    hits[f"family_{family}"] = 1
+    hits[_FAMILY_HIT_KEY[family]] = 1
 
     if result.content is not None:
         extracted = "\n".join(result.content)

@@ -40,7 +40,10 @@ def split_lines(text: str) -> list[Line]:
     for i, raw in enumerate(text.split("\n")):
         stripped = raw.strip()
         if stripped:
-            lead = len(raw) - len(raw.lstrip())
+            # index of the first non-whitespace char == leading-ws length
+            # (stripped[0] can't occur inside the leading run — it isn't
+            # whitespace); avoids the second string copy lstrip() made
+            lead = raw.index(stripped[0])
             start = pos + lead
             out.append(Line(i, start, start + len(stripped), stripped))
         pos += len(raw) + 1

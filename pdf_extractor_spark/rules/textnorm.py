@@ -55,8 +55,13 @@ def strip_non_printable(s: str) -> str:
 
 
 def collapse_whitespace(s: str) -> str:
-    """R14: ``" ".join(s.split())`` semantics incl. NBSP (chase_checking.py:335-337)."""
-    return _WS.sub(" ", s.replace("\xa0", " ")).strip()
+    """R14: ``" ".join(s.split())`` semantics incl. NBSP (chase_checking.py:
+    335-337). Implemented AS join/split (C-speed, no regex, no copy for the
+    NBSP pre-pass): str.split() with no separator splits on all Unicode
+    whitespace including NBSP — identical output to the previous
+    ``_WS.sub(" ", s.replace(NBSP, " ")).strip()`` formulation (property
+    tests + goldens pin this)."""
+    return " ".join(s.split())
 
 
 def strip_trailing_artifacts(s: str) -> str:
