@@ -216,13 +216,18 @@ def _fuzzy_after_through(text: str) -> str | None:
 def parse_date_mdy_strict(raw: str | None) -> str | None:
     """Strict ``%m/%d/%Y`` only (wellsfargo_bank_csv_parser.py:47-52): the
     bank-CSV family does NOT fall through the multi-format R7 ladder — any
-    other shape is None (and quarantines downstream)."""
+    other shape is None (and quarantines downstream). Implemented as
+    anchored regex + calendar-validated date — property-checked equivalent
+    to the reference's strptime("%m/%d/%Y")+strftime round-trip (1-2 digit
+    month/day, exactly 4-digit year: the round-trip raises on short years,
+    empirically verified; impossible dates -> None). strptime is ~3x slower
+    per call and this runs once per CSV row."""
     if not raw:
         return None
-    try:
-        return _dt.datetime.strptime(raw.strip(), "%m/%d/%Y").strftime("%Y-%m-%d")
-    except ValueError:
+    m = _MMDDYYYY.match(raw.strip())
+    if not m:
         return None
+    return _safe_date(int(m.group(3)), int(m.group(1)), int(m.group(2)))
 
 
 def date_from_filename(name: str) -> str | None:

@@ -371,3 +371,27 @@ def test_wf_bank_csv_every_synth_turn_routes_home():
             if k.startswith("r10_statement_source_"):
                 sources.add(k.removeprefix("r10_statement_source_"))
     assert sources == {"original_filename", "input_path", "last_row"}
+
+
+def test_wf_bank_csv_strict_date_equals_strptime_roundtrip():
+    """parse_date_mdy_strict is a performance re-expression of the
+    reference's strptime('%m/%d/%Y') + strftime round-trip — property-check
+    equivalence including the rejected-short-year edge."""
+    import random as _random
+    from datetime import datetime
+
+    from pdf_extractor_spark.rules.dates import parse_date_mdy_strict
+
+    def ref(raw):
+        try:
+            return datetime.strptime(raw.strip(), "%m/%d/%Y").strftime("%Y-%m-%d")
+        except ValueError:
+            return None
+
+    rng = _random.Random(7)
+    cases = ["01/05/2024", "1/5/2024", "13/45/2024", "02/30/2024", "1/5/24",
+             " 01/05/2024 ", "01-05-2024", "2024-01-05", "01/05/20245", ""]
+    cases += [f"{rng.randint(0,19)}/{rng.randint(0,39)}/{rng.randint(0,12000)}"
+              for _ in range(5000)]
+    for c in cases:
+        assert parse_date_mdy_strict(c) == ref(c), c
