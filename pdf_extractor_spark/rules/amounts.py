@@ -16,6 +16,11 @@ from decimal import Decimal, InvalidOperation
 
 _AMOUNT_JUNK = re.compile(r"[$,]")
 _PARENS = re.compile(r"^\((.*)\)$")
+# fast path: a plain decimal literal parses identically via float() and
+# float(Decimal()) — both correctly round the same literal; the Decimal
+# constructor is only needed for the exotic shapes (exponents, spellings
+# like 'Infinity', underscore rejection) where the two differ
+_SIMPLE_NUM = re.compile(r"^-?\d+(?:\.\d+)?$")
 
 # keyword classes from data_transformation.py:31-49
 CHARGE_KEYWORDS = ("debit", "charge", "withdrawal", "purchase")
@@ -41,10 +46,13 @@ def clean_amount(raw: str | float | int | None) -> float | None:
     if m:
         neg, s = True, m.group(1)
     s = _AMOUNT_JUNK.sub("", s).strip()
-    try:
-        v = float(Decimal(s))
-    except (InvalidOperation, ValueError):
-        return None
+    if _SIMPLE_NUM.match(s):
+        v = float(s)  # same correctly-rounded value as float(Decimal(s))
+    else:
+        try:
+            v = float(Decimal(s))
+        except (InvalidOperation, ValueError):
+            return None
     return -v if neg else v
 
 
@@ -71,16 +79,20 @@ def normalize_sign(
     """
     if amount is None:
         return 0.0
-    d = Decimal(str(amount))
+    # the reference's Decimal hop (str -> Decimal -> optional negate ->
+    # float) is value-preserving: repr round-trips floats exactly and
+    # negation is exact in both representations, so plain float negation
+    # produces bit-identical results (property-pinned in
+    # tests/test_rules_units.py::test_amount_fastpaths_equal_decimal_hop)
+    a = float(amount)
     if is_charge_positive:
-        d = -d
-        return float(d)
+        return -a
     ttype = (transaction_type or "").lower()
-    if any(k in ttype for k in CHARGE_KEYWORDS) and d > 0:
-        d = -d
-    elif any(k in ttype for k in CREDIT_KEYWORDS) and d < 0:
-        d = -d
-    return float(d)
+    if any(k in ttype for k in CHARGE_KEYWORDS) and a > 0:
+        return -a
+    if any(k in ttype for k in CREDIT_KEYWORDS) and a < 0:
+        return -a
+    return a
 
 
 def format_amount(v: float | None) -> str:
@@ -89,7 +101,14 @@ def format_amount(v: float | None) -> str:
     This is the byte-parity formatting path (SURVEY.md §4 determinism #2):
     the SAME Python code runs in the oracle and inside the pandas UDF, so the
     string is identical on both sides. Never Spark's ``format_number``.
+
+    For a float input the reference hop ``repr(float(Decimal(str(v))))`` is
+    the identity of ``repr(v)`` — ``str``/``repr`` produce the shortest
+    round-tripping literal, which Decimal and float re-parse to the same
+    value (property-pinned). Non-float numerics still take the full hop.
     """
     if v is None:
         return ""
+    if type(v) is float:
+        return repr(v)
     return repr(float(Decimal(str(v))))

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import re
+from functools import lru_cache as _lru_cache
 
 _MMDD = re.compile(r"^(\d{1,2})/(\d{1,2})$")
 _MMDDYY = re.compile(r"^(\d{1,2})/(\d{1,2})/(\d{2})$")
@@ -58,7 +59,11 @@ _SQUASHED_THROUGH = re.compile(
 )
 
 
+@_lru_cache(maxsize=16384)
 def _safe_date(y: int, m: int, d: int) -> str | None:
+    # pure function; statements repeat the same few dates thousands of
+    # times per corpus, so the cache converts date construction+isoformat
+    # into a dict hit (bounded memory, per executor process)
     try:
         return _dt.date(y, m, d).isoformat()
     except ValueError:
@@ -70,8 +75,11 @@ def widen_two_digit_year(y: int) -> int:
     return y + 2000 if y < 100 else y
 
 
+@_lru_cache(maxsize=65536)
 def parse_date(raw: str | None, statement_year: int | None = None) -> str | None:
-    """R7: coalescing format ladder -> ISO string, or None.
+    """R7: coalescing format ladder -> ISO string, or None. Pure function,
+    LRU-cached: date strings repeat heavily within a statement (dual-date
+    rows, period spans), and rule extraction calls this per record.
 
     Order (normalize_api.py:188-215 + transaction_normalizer.py:67-113):
       1. %Y-%m-%d   2. MM/DD/YYYY   3. MM/DD/YY (widened)

@@ -5,7 +5,13 @@ from __future__ import annotations
 
 from decimal import Decimal
 
-from pdf_extractor_spark.rules.amounts import clean_amount, format_amount, normalize_sign
+from pdf_extractor_spark.rules.amounts import (
+    CHARGE_KEYWORDS,
+    CREDIT_KEYWORDS,
+    clean_amount,
+    format_amount,
+    normalize_sign,
+)
 from pdf_extractor_spark.rules.doctype import DETECTION_ORDER, detect_family
 from pdf_extractor_spark.rules.extractors import EXTRACTORS
 from pdf_extractor_spark.rules.segment import (
@@ -172,3 +178,47 @@ def test_zero_record_turn_is_flagged():
     r = extract_turn("Chase Visa\nOpening/Closing Date 12/15/23 - 01/14/24\n")
     assert r.family == "chase_visa" and r.n_records == 0
     assert r.rule_hits.get("zero_records") == 1
+
+
+def test_amount_fastpaths_equal_decimal_hop():
+    """The r3 fast paths in amounts.py are value-preserving re-expressions of
+    the reference's Decimal hops — property-pinned over randomized inputs."""
+    import random
+
+    rng = random.Random(11)
+    raws = ["$1,234.56", "(45.00)", "12.", ".5", "1e3", "N/A", "", "  ", "-0.0",
+            "Infinity", "1_000", "00123.4500"]
+    raws += [f"{rng.uniform(-1e6, 1e6):.{rng.randint(0,6)}f}" for _ in range(3000)]
+    for s in raws:
+        got = clean_amount(s)
+        # independent reference formulation
+        t = s.strip()
+        neg = t.startswith("(") and t.endswith(")")
+        if neg:
+            t = t[1:-1]
+        t = t.replace("$", "").replace(",", "").strip()
+        try:
+            want = float(Decimal(t)) if t else None
+        except Exception:
+            want = None
+        if want is not None and neg:
+            want = -want
+        assert got == want or (got is None and want is None), (s, got, want)
+
+    for _ in range(3000):
+        v = rng.uniform(-1e7, 1e7)
+        assert format_amount(v) == repr(float(Decimal(str(v))))
+        for ttype in (None, "debit", "Payment", "ACH CREDIT", "purchase x"):
+            for inv in (False, True):
+                got = normalize_sign(v, ttype, is_charge_positive=inv)
+                d = Decimal(str(v))
+                if inv:
+                    want = float(-d)
+                else:
+                    tl = (ttype or "").lower()
+                    if any(k in tl for k in CHARGE_KEYWORDS) and d > 0:
+                        d = -d
+                    elif any(k in tl for k in CREDIT_KEYWORDS) and d < 0:
+                        d = -d
+                    want = float(d)
+                assert got == want and repr(got) == repr(want), (v, ttype, inv)
