@@ -259,8 +259,13 @@ def pack_sequences_distributed(
     is a total order; tests/test_pack_distributed.py pins equality at >=2
     partitions per stratum."""
     n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
-    base = docs.select("doc_id", "lang", n_tok.alias("n_tokens"))
-    keys = [F.col("lang"), F.col("doc_id")]
+    # null-safe stratum key: Window.partitionBy groups NULL strata together,
+    # but a plain inner equi-join on the offsets would DROP null-stratum rows
+    # (null != null) — a silent completeness violation at scale. Group, sort
+    # and join on a coalesced key; carry the original lang through.
+    lk = F.coalesce(F.col("lang"), F.lit("\x00<null-stratum>"))
+    base = docs.select("doc_id", "lang", n_tok.alias("n_tokens"), lk.alias("_lk"))
+    keys = [F.col("_lk"), F.col("doc_id")]
     if num_partitions:
         ranged = base.repartitionByRange(num_partitions, *keys)
     else:
@@ -270,17 +275,17 @@ def pack_sequences_distributed(
         part = part.checkpoint(eager=False)
     else:
         part = part.localCheckpoint(eager=False)
-    sums = part.groupBy("_pid", "lang").agg(F.sum("n_tokens").alias("_ptok"))
+    sums = part.groupBy("_pid", "_lk").agg(F.sum("n_tokens").alias("_ptok"))
     woff = (
-        Window.partitionBy("lang")
+        Window.partitionBy("_lk")
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     offsets = sums.select(
-        "_pid", "lang", (F.sum("_ptok").over(woff) - F.col("_ptok")).alias("_loff")
+        "_pid", "_lk", (F.sum("_ptok").over(woff) - F.col("_ptok")).alias("_loff")
     )
     wlocal = (
-        Window.partitionBy("_pid", "lang")
+        Window.partitionBy("_pid", "_lk")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -289,7 +294,7 @@ def pack_sequences_distributed(
         + F.col("_loff")
     )
     return (
-        part.join(F.broadcast(offsets), ["_pid", "lang"])
+        part.join(F.broadcast(offsets), ["_pid", "_lk"])
         .select(
             "doc_id",
             "lang",

@@ -52,3 +52,29 @@ def test_distributed_respects_budget_boundaries(spark):
     for r in out:
         assert 0 <= r.bin_offset < 512
         assert r.bin_id >= 0
+
+
+def test_null_stratum_rows_survive_and_match_window(spark):
+    """A NULL lang is a legal stratum for the window formulation; the
+    distributed offsets join must not drop it (null != null in an inner
+    equi-join — guarded by the coalesced stratum key)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(40)),
+            "lang": [None if i % 4 == 0 else ("en" if i % 2 else "de") for i in range(40)],
+            "text": [("tok " * ((i % 7) + 1)).strip() for i in range(40)],
+        }
+    )
+    docs = spark.createDataFrame(pdf, schema="doc_id long, lang string, text string")
+    want = {
+        (r.doc_id, r.lang, r.n_tokens, r.bin_id, r.bin_offset)
+        for r in pack_sequences_window(docs, budget=8).collect()
+    }
+    got = {
+        (r.doc_id, r.lang, r.n_tokens, r.bin_id, r.bin_offset)
+        for r in pack_sequences_distributed(docs, budget=8, num_partitions=4).collect()
+    }
+    assert len(got) == 40  # nothing dropped
+    assert got == want
