@@ -60,6 +60,24 @@ def _headline():
     ]
 
 
+def _emit(payload: dict) -> None:
+    """Print the contract JSON line AND self-archive it under
+    BENCH/artifacts/ (round-3 evidence policy: every quotable number traces
+    to a stored artifact — archiving at the source removes the manual
+    redirect step that policy previously relied on). Set
+    SPARK_GRAFT_ARTIFACT_DIR="" to disable (e.g. throwaway runs)."""
+    line = json.dumps(payload)
+    print(line)
+    art_dir = os.environ.get("SPARK_GRAFT_ARTIFACT_DIR", str(_REPO / "BENCH" / "artifacts"))
+    if art_dir:
+        try:
+            Path(art_dir).mkdir(parents=True, exist_ok=True)
+            name = f"auto_{payload.get('metric', 'bench')}_{int(time.time())}.json"
+            (Path(art_dir) / name).write_text(line + "\n")
+        except OSError:
+            pass  # archiving must never fail the bench contract
+
+
 def _sf_of(sf_dir: str) -> float:
     name = Path(sf_dir).name
     try:
@@ -155,19 +173,17 @@ def main() -> None:
     turns_per_sec = round(n_turns / ext_sec, 1) if ext_sec > 0 else 0.0
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": _sf_of(SF_DIR),
-                "extraction_turns": n_turns,
-                "extraction_turns_per_sec": turns_per_sec,
-                "cpus": int(CPUS),
-            }
-        )
+    _emit(
+        {
+            "metric": "headline_queries_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "sf": _sf_of(SF_DIR),
+            "extraction_turns": n_turns,
+            "extraction_turns_per_sec": turns_per_sec,
+            "cpus": int(CPUS),
+        }
     )
     spark.stop()
 
@@ -297,21 +313,19 @@ def scaling(lo: int = 4, hi: int = 16) -> None:
     eff = round((thr_hi / thr_lo) / (hi / lo), 3)
     control = _spin_eff(lo, hi)
     text_ctrl = _extract_ctrl_eff(lo, hi)
-    print(
-        json.dumps(
-            {
-                "metric": "scaling_efficiency",
-                "value": eff,
-                "unit": "ratio",
-                "runs": results,
-                "control_spin": control,
-                "control_text": text_ctrl,
-                "normalized_efficiency": round(eff / control["eff"], 3),
-                "text_normalized_efficiency": round(eff / text_ctrl["eff"], 3),
-                "sf": _sf_of(SF_DIR),
-                "target": 0.8,
-            }
-        )
+    _emit(
+        {
+            "metric": "scaling_efficiency",
+            "value": eff,
+            "unit": "ratio",
+            "runs": results,
+            "control_spin": control,
+            "control_text": text_ctrl,
+            "normalized_efficiency": round(eff / control["eff"], 3),
+            "text_normalized_efficiency": round(eff / text_ctrl["eff"], 3),
+            "sf": _sf_of(SF_DIR),
+            "target": 0.8,
+        }
     )
 
 
