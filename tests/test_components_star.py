@@ -58,3 +58,37 @@ def test_star_equals_propagation_on_real_minhash_pairs(spark):
     prop = {tuple(r) for r in
             near_dup_components(docs.select("doc_id"), pairs).collect()}
     assert star == prop
+
+
+def test_star_equals_propagation_on_random_graph(spark):
+    """Seeded Erdos-Renyi-ish graph: 300 nodes, ~350 random edges — mixed
+    component sizes, cycles, and chains in one relation; both algorithms
+    must agree exactly (and with a plain-Python union-find oracle)."""
+    import random
+
+    rng = random.Random(1234)
+    n = 300
+    edges = sorted({
+        tuple(sorted(rng.sample(range(n), 2))) for _ in range(350)
+    })
+    docs = _docs(spark, n)
+    pairs = _pairs(spark, edges)
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(i, find(i)) for i in range(n)}
+
+    star = {(r.doc_id, r.component) for r in near_dup_components_star(docs, pairs).collect()}
+    prop = {(r.doc_id, r.component) for r in near_dup_components(docs, pairs).collect()}
+    assert star == want
+    assert prop == want
