@@ -14,7 +14,6 @@ from __future__ import annotations
 import re
 from decimal import Decimal, InvalidOperation
 
-_AMOUNT_JUNK = re.compile(r"[$,]")
 _PARENS = re.compile(r"^\((.*)\)$")
 # fast path: a plain decimal literal parses identically via float() and
 # float(Decimal()) — both correctly round the same literal; the Decimal
@@ -45,7 +44,8 @@ def clean_amount(raw: str | float | int | None) -> float | None:
     m = _PARENS.match(s)
     if m:
         neg, s = True, m.group(1)
-    s = _AMOUNT_JUNK.sub("", s).strip()
+    # plain replace beats the [$,] regex sub (two C scans, no engine setup)
+    s = s.replace("$", "").replace(",", "").strip()
     if _SIMPLE_NUM.match(s):
         v = float(s)  # same correctly-rounded value as float(Decimal(s))
     else:
