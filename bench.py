@@ -72,7 +72,9 @@ def _emit(payload: dict) -> None:
     if art_dir:
         try:
             Path(art_dir).mkdir(parents=True, exist_ok=True)
-            name = f"auto_{payload.get('metric', 'bench')}_{int(time.time())}.json"
+            # pid suffix: second-resolution timestamps collide when two runs
+            # emit in the same second, silently losing an artifact
+            name = f"auto_{payload.get('metric', 'bench')}_{int(time.time())}_{os.getpid()}.json"
             (Path(art_dir) / name).write_text(line + "\n")
         except OSError:
             pass  # archiving must never fail the bench contract
@@ -110,14 +112,15 @@ def _bench_transcripts(spark, sf_dir: str, n_convs: int | None = None):
     gen_h = hashlib.md5(inspect.getsource(synth).encode()).hexdigest()[:8]
     path = _REPO / ".cache" / f"transcripts_c{n_convs}_s42_{gen_h}.parquet"
     if not path.exists():
-        # prune stale corpora for this size ONLY when about to regenerate
-        # (old generator hashes are never matched again; without this every
-        # generator edit strands a corpus). Pruning unconditionally could
-        # delete a corpus a CONCURRENT bench started with different
-        # generator code is actively scanning (the r2-10 scenario) — when
-        # our corpus already exists, siblings are left alone.
+        # prune stale corpora for this size ONLY when about to regenerate,
+        # and ONLY siblings untouched for 6h+: a concurrent bench running
+        # different generator code is actively scanning ITS corpus (recent
+        # mtime), and deleting it mid-read fails that run (the r2-10
+        # scenario). Old generator hashes are never matched again, so
+        # genuinely stale corpora still get reclaimed eventually.
+        stale_before = time.time() - 6 * 3600
         for old in (_REPO / ".cache").glob(f"transcripts_c{n_convs}_s42_*.parquet"):
-            if old != path:
+            if old != path and old.stat().st_mtime < stale_before:
                 import shutil
 
                 shutil.rmtree(old, ignore_errors=True)

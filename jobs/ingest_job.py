@@ -34,13 +34,21 @@ def main() -> None:
     from pdf_extractor_spark.session import get_spark
     from pdf_extractor_spark.sources.readers import read_transcripts
 
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     spark = get_spark("ingest_job")
     good, quarantine = read_transcripts(spark, args.input, args.format)
-    # this run's ingested rows, counted BEFORE the append (table_rows below
-    # is the cumulative post-append table size — both are reported so
-    # repeated runs stay unambiguous)
-    rows_ingested = good.count()
-    good.write.mode("append").parquet(args.output)
+    # this run's ingested rows ride the append itself via observe() (the
+    # split_extracted pattern): no second end-to-end parse of the input.
+    # table_rows below is the cumulative post-append table size — both are
+    # reported so repeated runs stay unambiguous; the post-append count is a
+    # parquet-metadata read, not a data scan.
+    obs = Observation("ingest")
+    good.observe(obs, F.count(F.lit(1)).alias("rows_ingested")).write.mode(
+        "append"
+    ).parquet(args.output)
+    rows_ingested = obs.get["rows_ingested"]
     n_table = spark.read.parquet(args.output).count()
     n_bad = quarantine.count()
     dropped = False

@@ -752,13 +752,17 @@ def q_pipeline_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PIPELINE_COMPLETENESS_ORACLE = """
+def _completeness_oracle() -> str:
+    # n_bad derived from _BAD_TURNS (same generator discipline as
+    # _quarantine_oracle): editing the injection table updates both oracles
+    n_bad = " + ".join(
+        f"CAST(doc_id % {mod} = 0 AS INT)" for mod, _off, _t, _r in _BAD_TURNS
+    )
+    return f"""
     WITH d AS (
       SELECT doc_id,
              len(string_split_regex(text, '\\. ')) AS nf,
-             CAST(doc_id % 7 = 0 AS INT) + CAST(doc_id % 11 = 0 AS INT)
-               + CAST(doc_id % 13 = 0 AS INT) + CAST(doc_id % 17 = 0 AS INT)
-               AS n_bad
+             {n_bad} AS n_bad
       FROM documents)
     SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS conv_id,
            CAST(nf + n_bad AS BIGINT) AS n_input,
@@ -766,7 +770,10 @@ _PIPELINE_COMPLETENESS_ORACLE = """
            CAST(n_bad AS BIGINT) AS n_quarantine,
            CAST(nf + n_bad AS BIGINT) AS n_total
     FROM d
-"""
+    """
+
+
+_PIPELINE_COMPLETENESS_ORACLE = _completeness_oracle()
 
 
 def q_j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:

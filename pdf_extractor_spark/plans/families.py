@@ -145,9 +145,9 @@ def q_family_statement_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("long").alias("k"),
         stmt_date.alias("s1"),
         src.alias("s2"),
-        F.regexp_replace(
-            F.regexp_extract(wtxt, r"\n\d{2}/\d{2}/\d{4},([^,]*),", 1), ",", ""
-        )
+        # _money renders cents with no grouping separators, so the [^,]*
+        # capture IS the full amount cell — no de-comma step needed
+        F.regexp_extract(wtxt, r"\n\d{2}/\d{2}/\d{4},([^,]*),", 1)
         .cast("double")
         .alias("v"),
     )

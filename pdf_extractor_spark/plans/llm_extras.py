@@ -151,10 +151,13 @@ def near_dup_components_star(
         )
         attach_self = smin.select("u", F.col("m").alias("v"))
         new = attach_neighbors.union(attach_self).distinct().localCheckpoint(eager=True)
-        changed = (
-            new.exceptAll(edges).limit(1).count()
-            + edges.exceptAll(new).limit(1).count()
-        )
+        # short-circuit the convergence probe: in the common non-converged
+        # round the first one-sided anti-join already answers, so the second
+        # exceptAll job (a full shuffle of both edge sets) only runs on the
+        # final round
+        changed = new.exceptAll(edges).limit(1).count()
+        if changed == 0:
+            changed = edges.exceptAll(new).limit(1).count()
         edges = new
         if changed == 0:
             break

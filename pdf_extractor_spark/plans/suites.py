@@ -784,17 +784,20 @@ def q_agg_extras_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation: A7 exact percentiles, A6+A8 pivot/unpivot round-trip, A9/A10
     rollup+cube grouping sets, set INTERSECT/EXCEPT, and the A11 HLL
     tolerance check."""
+    # melt via ONE stack() generator per source, not per-metric unions:
+    # Catalyst does not dedupe identical agg subplans across union branches,
+    # so the union formulation re-ran the percentile sort-agg 5x and the
+    # grouping-sets agg 3x per action
     a7 = catalog_ext2.q_a7_percentiles(spark, sf_dir)
-    a7_rows = None
-    for m in ("p50", "p95", "vmin", "vmax", "n"):
-        part = a7.select(
-            F.lit("a7").alias("variant"),
-            F.col("event_type").alias("k1"),
-            F.lit("").alias("k2"),
-            F.lit(m).alias("metric"),
-            F.col(m).cast("double").alias("v"),
-        )
-        a7_rows = part if a7_rows is None else a7_rows.unionByName(part)
+    a7_rows = a7.select(
+        F.lit("a7").alias("variant"),
+        F.col("event_type").alias("k1"),
+        F.lit("").alias("k2"),
+        F.expr(
+            "stack(5, 'p50', p50, 'p95', p95, 'vmin', vmin, 'vmax', vmax, "
+            "'n', CAST(n AS DOUBLE)) AS (metric, v)"
+        ),
+    )
     a8 = q_a6_a8_pivot_unpivot(spark, sf_dir).select(
         F.lit("a8").alias("variant"),
         F.col("user_id").cast("string").alias("k1"),
@@ -803,16 +806,15 @@ def q_agg_extras_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("double").alias("v"),
     )
     rc = q_a9_a10_rollup_cube(spark, sf_dir)
-    rc_rows = None
-    for m, c in (("revenue", "revenue"), ("n", "n"), ("gid", "gid")):
-        part = rc.select(
-            "variant",
-            F.coalesce(F.col("k1"), F.lit("<null>")).alias("k1"),
-            F.coalesce(F.col("k2"), F.lit("<null>")).alias("k2"),
-            F.lit(m).alias("metric"),
-            F.col(c).cast("double").alias("v"),
-        )
-        rc_rows = part if rc_rows is None else rc_rows.unionByName(part)
+    rc_rows = rc.select(
+        "variant",
+        F.coalesce(F.col("k1"), F.lit("<null>")).alias("k1"),
+        F.coalesce(F.col("k2"), F.lit("<null>")).alias("k2"),
+        F.expr(
+            "stack(3, 'revenue', revenue, 'n', CAST(n AS DOUBLE), "
+            "'gid', CAST(gid AS DOUBLE)) AS (metric, v)"
+        ),
+    )
     so = catalog_ext.q_set_intersect_except(spark, sf_dir).select(
         F.lit("setops").alias("variant"),
         F.col("o_custkey").cast("string").alias("k1"),

@@ -33,7 +33,10 @@ class Record(NamedTuple):
     date: str | None  # ISO YYYY-MM-DD
     amount: float | None  # signed per R5 convention
     description: str
-    ttype: str | None  # 'charge' | 'credit' | None
+    # 'charge' | 'credit' | None — plus reference-literal passthroughs where
+    # the mirrored parser emits its own enum (wf_bank_csv: 'Unknown',
+    # wellsfargo_bank_csv_parser.py:124); renderers treat ttype as opaque
+    ttype: str | None
     start: int  # char span in original turn text
     end: int
 

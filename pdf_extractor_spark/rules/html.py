@@ -73,8 +73,10 @@ def looks_like_html(text: str, lowered: str | None = None) -> bool:
     low = (lowered if lowered is not None else text.lower()).lstrip()
     if low.startswith(("<!doctype html", "<html")):
         return True
-    starts_with_markup = low.startswith(("<head", "<!--", "<body", "<meta", "<"))
-    window = 2048 if starts_with_markup else 256
+    # ANY payload whose first non-whitespace char opens markup (a tag, a
+    # comment, <head>...) gets the deep window; prose-leading payloads keep
+    # the tight deep-mention guard
+    window = 2048 if low.startswith("<") else 256
     return "<body" in low[:window]
 
 
