@@ -60,6 +60,32 @@ def _headline():
     ]
 
 
+def _loadavg() -> list[float]:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        return []
+
+
+def _window_health(load_start: list[float] | None = None) -> dict:
+    """Self-labeling bench window (r3 judge ask #3): every emitted artifact
+    carries loadavg at start/end plus a timed single-thread spin probe, so a
+    contended host window (the r3 driver's 43.99s vs 28.17s clean) is visible
+    in the artifact itself instead of inferred from cross-run comparison. A
+    hot window shows as loadavg >> cpus and/or spin_probe_sec well above the
+    quiet-host value recorded alongside it in BENCH/BASELINE.md."""
+    t0 = time.perf_counter()
+    _spin(20_000_000)
+    spin_sec = time.perf_counter() - t0
+    health = {
+        "loadavg_end": _loadavg(),
+        "spin_probe_sec": round(spin_sec, 3),
+    }
+    if load_start is not None:
+        health["loadavg_start"] = load_start
+    return health
+
+
 def _emit(payload: dict) -> None:
     """Print the contract JSON line AND self-archive it under
     BENCH/artifacts/ (round-3 evidence policy: every quotable number traces
@@ -120,10 +146,15 @@ def _bench_transcripts(spark, sf_dir: str, n_convs: int | None = None):
         # genuinely stale corpora still get reclaimed eventually.
         stale_before = time.time() - 6 * 3600
         for old in (_REPO / ".cache").glob(f"transcripts_c{n_convs}_s42_*.parquet"):
-            if old != path and old.stat().st_mtime < stale_before:
-                import shutil
+            try:
+                # stat can race a concurrent bench rmtree-ing the same stale
+                # candidate — the exact scenario this prune defends against
+                if old != path and old.stat().st_mtime < stale_before:
+                    import shutil
 
-                shutil.rmtree(old, ignore_errors=True)
+                    shutil.rmtree(old, ignore_errors=True)
+            except OSError:
+                continue
         # many small files -> ~0.5s tasks: smooth scheduling (no wave
         # quantization / straggler tail) at every parallelism level
         generate_transcripts_distributed(spark, n_convs, seed=42, partitions=256).write.mode(
@@ -151,6 +182,7 @@ def run_extraction(spark, sf_dir: str, n_convs: int | None = None) -> tuple[floa
 def main() -> None:
     from pdf_extractor_spark.session import get_spark
 
+    load_start = _loadavg()
     spark = get_spark("bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -186,6 +218,7 @@ def main() -> None:
             "extraction_turns": n_turns,
             "extraction_turns_per_sec": turns_per_sec,
             "cpus": int(CPUS),
+            "window": _window_health(load_start),
         }
     )
     spark.stop()
@@ -226,6 +259,7 @@ def _scaling_child(cores: int, sf_dir: str) -> dict:
         "all_secs": [round(s, 3) for s, _ in passes],
         "turns": n,
         "turns_per_sec": round(n / sec, 1),
+        "window": _window_health(),
     }
 
 
@@ -302,6 +336,7 @@ def scaling(lo: int = 4, hi: int = 16) -> None:
     (spark_eff / control_eff) expresses how much of the HOST's achievable
     scaling the pipeline captures — the sandbox stand-in for N vs 4N
     executors, where the host itself is not CPU-throttled."""
+    load_start = _loadavg()
     results = []
     for cores in (lo, hi):
         out = subprocess.run(
@@ -328,6 +363,7 @@ def scaling(lo: int = 4, hi: int = 16) -> None:
             "text_normalized_efficiency": round(eff / text_ctrl["eff"], 3),
             "sf": _sf_of(SF_DIR),
             "target": 0.8,
+            "window": _window_health(load_start),
         }
     )
 

@@ -56,6 +56,21 @@ def clean_amount(raw: str | float | int | None) -> float | None:
     return -v if neg else v
 
 
+def coerce_amount_commas_only(raw: str | float | int | None) -> float:
+    """Strict wf_bank_csv coerce (wellsfargo_bank_csv_parser.py:35-44):
+    ``float(str(x).replace(',', ''))`` with 0.0 on ANY failure. Deliberately
+    NARROWER than ``clean_amount_or_zero``: the reference's parse_amount
+    strips commas only, so ``'$12.00'`` and ``'(45.00)'`` both coerce to
+    0.0 here (pinned in tests/test_new_families.py) — using the wider
+    cleaner for this family would be a fidelity divergence."""
+    if isinstance(raw, (int, float)):
+        return float(raw)
+    try:
+        return float(str(raw).replace(",", ""))
+    except (ValueError, TypeError):
+        return 0.0
+
+
 def clean_amount_or_zero(raw: str | float | int | None) -> float:
     """R4 with coerce->0.0 (capitalone_csv_parser.py:119-120)."""
     v = clean_amount(raw)
@@ -88,9 +103,17 @@ def normalize_sign(
     if is_charge_positive:
         return -a
     ttype = (transaction_type or "").lower()
-    if any(k in ttype for k in CHARGE_KEYWORDS) and a > 0:
+    charge = any(k in ttype for k in CHARGE_KEYWORDS)
+    credit = any(k in ttype for k in CREDIT_KEYWORDS)
+    if a != a and (charge or credit):
+        # the reference's Decimal hop raises here: Decimal('NaN') > 0 (and
+        # < 0) signal InvalidOperation, so a NaN amount that reaches a sign
+        # comparison must raise, not silently pass NaN through
+        # (data_transformation.py:51-56; pinned in tests/test_rules_units.py)
+        raise InvalidOperation("normalize_sign: NaN amount reaches sign comparison")
+    if charge and a > 0:
         return -a
-    if any(k in ttype for k in CREDIT_KEYWORDS) and a < 0:
+    if credit and a < 0:
         return -a
     return a
 

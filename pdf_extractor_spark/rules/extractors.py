@@ -17,7 +17,12 @@ from typing import NamedTuple
 
 from . import dates as D
 from . import textnorm as TN
-from .amounts import clean_amount, clean_amount_or_zero, normalize_sign
+from .amounts import (
+    clean_amount,
+    clean_amount_or_zero,
+    coerce_amount_commas_only,
+    normalize_sign,
+)
 from .boilerplate import is_footer_line, is_section_marker, strip_boilerplate_lines
 from .segment import (
     Line,
@@ -1112,8 +1117,10 @@ def extract_wf_bank_csv(text: str) -> ExtractResult:
     check-number column and its filename-FIRST statement-date ladder:
 
     - strict ``%m/%d/%Y`` date (:47-52; None on any other shape),
-    - amount coerced to 0.0 on failure (:35-44 — NOT None: an unparseable
-      amount never quarantines this family, mirroring parse_amount),
+    - amount via the strict commas-only coerce (:35-44 — ``float(str.replace
+      (',', ''))`` with 0.0 on ANY failure, so ``'$12.00'`` and ``'(45.00)'``
+      coerce to 0.0 exactly like parse_amount; never None, so an unparseable
+      amount never quarantines this family),
     - provenance ladder (:82-113): original_filename -> input_path ->
       last_row, recorded with the reference's statement_date_source enum as
       a rule-hit key (models.py StatementMetadata.statement_date_source).
@@ -1126,7 +1133,7 @@ def extract_wf_bank_csv(text: str) -> ExtractResult:
         if not m:
             continue
         iso = D.parse_date_mdy_strict(m.group(1))
-        amt = clean_amount_or_zero(m.group(2))
+        amt = coerce_amount_commas_only(m.group(2))
         desc = TN.normalize_description(m.group(4))
         if iso:
             valid_dates.append(iso)

@@ -62,21 +62,23 @@ def looks_like_html(text: str, lowered: str | None = None) -> bool:
     """Markers must appear near the START of the payload: a statement turn
     whose free text merely mentions '<body' deep inside (e.g. a description
     quoting markup) must not be rerouted to the html family and lose its
-    transaction records. Payloads that clearly START with markup — a
-    fragment opening with <head>, a comment, or any tag — get the deeper
-    '<body' window (2048 chars) so a long head section (meta/style/script
-    before body) still routes home; only prose-leading payloads keep the
-    tight 256-char bound (the deep-mention guard). ``lowered``: the caller's
+    transaction records. Only payloads that UNAMBIGUOUSLY start a document
+    head — <head>, <meta, <?xml, <!-- or a <!doctype variant — get the
+    deeper '<body' window (2048 chars) so a long head section (meta/style/
+    script before body) still routes home. A bare leading '<' does NOT
+    qualify: prose that merely opens with an angle bracket (quoted text,
+    '<redacted>', a pasted diff) keeps the tight 256-char deep-mention
+    guard, so a deep '<body' mention can't steal its transaction records.
+    ``lowered``: the caller's
     already-lowercased copy of ``text`` (detect_family computes one anyway)
     — avoids a second full-string lower(); lstrip-after-lower equals
     lower-after-lstrip since lowercasing never touches whitespace."""
     low = (lowered if lowered is not None else text.lower()).lstrip()
     if low.startswith(("<!doctype html", "<html")):
         return True
-    # ANY payload whose first non-whitespace char opens markup (a tag, a
-    # comment, <head>...) gets the deep window; prose-leading payloads keep
-    # the tight deep-mention guard
-    window = 2048 if low.startswith("<") else 256
+    # deep window only for unambiguous document-head openers; a bare '<'
+    # (quoted prose, '<redacted>', pasted diffs) is NOT enough
+    window = 2048 if low.startswith(("<head", "<meta", "<?xml", "<!--", "<!doctype")) else 256
     return "<body" in low[:window]
 
 

@@ -29,6 +29,24 @@ def test_detection_routes_html_first():
     assert detect_family("Chase Visa\n12/01 X 1.00") == "chase_visa"
 
 
+def test_deep_body_window_requires_document_head_opener():
+    """r4 ADVICE pin: the 2048-char '<body' window is granted only to
+    payloads opening with an unambiguous document head (<head, <meta,
+    <?xml, <!--, <!doctype). Prose that merely starts with '<' (quoted
+    text, '<redacted>') and mentions '<body' deep inside keeps the tight
+    256-char guard and is NOT rerouted to the html family."""
+    deep_mention = "x" * 600 + " the markup used a <body tag here"
+    prose_lt = "<redacted> customer wrote: " + deep_mention
+    assert not looks_like_html(prose_lt)
+    assert detect_family(prose_lt + "\nChase Visa\n12/01 X 1.00") == "chase_visa"
+    # a real fragment with a long head section still routes home
+    long_head = "<head><meta x='" + "y" * 600 + "'></head><body><p>hi</p></body>"
+    assert looks_like_html(long_head)
+    assert looks_like_html("<?xml version='1.0'?>" + long_head)
+    # near-start mention keeps working for prose too (the 256 guard)
+    assert looks_like_html("fragment: <body class='m'>")
+
+
 def test_script_style_comments_dropped():
     lines = html_lines(PAGE + "<!-- hidden comment 123 -->")
     joined = " ".join(ln.text for ln in lines)

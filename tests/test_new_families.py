@@ -346,6 +346,34 @@ def test_wf_bank_csv_amount_coerce_and_strict_date():
     assert not bad2.valid and bad2.problem_reason == "missing_or_unparseable_date"
 
 
+def test_wf_bank_csv_amount_is_strict_commas_only():
+    """Fidelity pin (r3 ADVICE): this family's coerce is EXACTLY the
+    reference's float(str.replace(',', '')) — '$' and parenthesized
+    negatives are NOT understood and coerce to 0.0, unlike the wider
+    clean_amount_or_zero used by other families
+    (wellsfargo_bank_csv_parser.py:35-44)."""
+    from pdf_extractor_spark.rules.amounts import (
+        clean_amount_or_zero,
+        coerce_amount_commas_only,
+    )
+
+    assert coerce_amount_commas_only("$12.00") == 0.0
+    assert coerce_amount_commas_only("(45.00)") == 0.0
+    assert coerce_amount_commas_only("1,234.56") == 1234.56
+    assert coerce_amount_commas_only(None) == 0.0
+    assert coerce_amount_commas_only(7) == 7.0
+    # the wider cleaner WOULD parse these — the families must diverge
+    assert clean_amount_or_zero("$12.00") == 12.0
+    assert clean_amount_or_zero("(45.00)") == -45.0
+    # end-to-end through the family extractor
+    dollar = extract_turn(
+        "FILE: wellsfargo_bank_20240131.csv\nPATH: p.csv\n"
+        "01/05/2024,$12.00,*,,DOLLAR AMT\n01/06/2024,(45.00),*,,PAREN AMT"
+    )
+    assert dollar.family == "wf_bank_csv"
+    assert dollar.extracted_text.count("|0.0|") == 2
+
+
 def test_wf_bank_csv_detection_beats_checking_alias():
     """A bank-CSV turn whose rows ALSO match the checking-CSV row shape
     (empty check column) must route to wf_bank_csv via the FILE marker —

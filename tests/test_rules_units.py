@@ -222,3 +222,31 @@ def test_amount_fastpaths_equal_decimal_hop():
                         d = -d
                     want = float(d)
                 assert got == want and repr(got) == repr(want), (v, ttype, inv)
+
+
+def test_normalize_sign_nan_and_infinity_match_decimal_hop():
+    """Non-finite pins (r3 ADVICE): the float fast path must preserve the
+    reference Decimal hop's behavior outside the finite range the property
+    test samples. Decimal('NaN') > 0 raises InvalidOperation, so a NaN
+    amount raises iff a charge/credit keyword brings it to a comparison;
+    Infinity compares fine and flows through sign logic normally."""
+    import math
+
+    import pytest
+    from decimal import InvalidOperation
+
+    nan, inf = float("nan"), float("inf")
+    # NaN reaching a sign comparison raises, like the Decimal hop
+    for ttype in ("debit", "purchase refund", "credit", "ACH PAYMENT"):
+        with pytest.raises(InvalidOperation):
+            normalize_sign(nan, ttype)
+    # no keyword -> no comparison -> NaN passes through (Decimal path never
+    # compares); inverted sources negate unconditionally without comparing
+    assert math.isnan(normalize_sign(nan, None))
+    assert math.isnan(normalize_sign(nan, "misc fee"))
+    assert math.isnan(normalize_sign(nan, "debit", is_charge_positive=True))
+    # Infinity: Decimal('Infinity') compares normally — pin both branches
+    assert normalize_sign(inf, "debit") == -inf
+    assert normalize_sign(-inf, "credit") == inf
+    assert normalize_sign(inf, None) == inf
+    assert normalize_sign(inf, "debit", is_charge_positive=True) == -inf
