@@ -880,12 +880,17 @@ def registry() -> tuple[
         if sql is not None:
             o[name] = sql
 
-    # -- flagship extraction pipeline. pipeline_extract stays rows-only (the
-    # rule library is Python-tier; goldens carry exact values) but its output
-    # is scalar-projected for the driver canonicalizer (r2 VERDICT #1).
-    # quarantine + completeness are ORACLED: the injected malformed turns
-    # have SQL-computable placement.
-    add("pipeline_extract", catalog_ext2.q_pipeline_extract)
+    # -- flagship extraction pipeline — FULLY ORACLED as of round 4 (r3
+    # VERDICT ask #1): the gate input's domain (single-fragment [a-z ]
+    # documents + constant injected exemplars) makes every scalar column —
+    # extracted_text bytes included — recomputable in DuckDB SQL, with a
+    # loud UNMODELED sentinel for anything outside that domain.
+    # quarantine + completeness remain ORACLED as before.
+    add(
+        "pipeline_extract",
+        catalog_ext2.q_pipeline_extract,
+        catalog_ext2._PIPELINE_EXTRACT_ORACLE,
+    )
     add(
         "pipeline_quarantine",
         catalog_ext2.q_pipeline_quarantine,

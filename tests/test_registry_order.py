@@ -66,8 +66,11 @@ EXPECTED_FIRST_50 = [
     "agg_extras_suite",
 ]
 
-# pipeline_extract: rule library is Python-tier; goldens carry exact values.
-ROWS_ONLY = {"pipeline_extract"}
+# Round 4: NO rows-only entries remain — pipeline_extract gained a full
+# value oracle (the gate input's [a-z ] document domain + constant injected
+# exemplars make extracted_text recomputable in DuckDB; catalog_ext2
+# _extract_values_oracle), closing the r3 verification asymmetry.
+ROWS_ONLY: set[str] = set()
 
 
 def test_registry_order_is_pinned():
