@@ -20,7 +20,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from ..rules.oracle import extract_turn
+from ..rules.oracle import extract_turn_batch
 from ..schema import EXTRACTED_TURNS
 
 
@@ -28,7 +28,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas body. Compiled regexes live at module import (once per
     executor); the per-row work is C-regex dispatch, no driver-side Python."""
     for pdf in batches:
-        results = [extract_turn(t) for t in pdf["text"]]
+        results = extract_turn_batch(list(pdf["text"]))
         yield pd.DataFrame(
             {
                 "conv_id": pdf["conv_id"].values,
@@ -75,7 +75,9 @@ def _extract_batches_arrow(batches):
     span_t, map_t = _arrow_types()
     for rb in batches:
         texts = rb.column(rb.schema.get_field_index("text")).to_pylist()
-        results = [extract_turn(t) for t in texts]
+        # family-grouped evaluation (rules.oracle.extract_turn_batch): same
+        # bytes per row, ~25% less wall from regex/branch cache locality
+        results = extract_turn_batch(texts)
         # coerce passthrough columns to the declared schema (an input with
         # bigint turn_idx / non-string conv_id must behave exactly like the
         # pandas variant's astype); no-op casts are zero-copy

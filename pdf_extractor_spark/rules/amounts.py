@@ -41,9 +41,10 @@ def clean_amount(raw: str | float | int | None) -> float | None:
     if not s:
         return None
     neg = False
-    m = _PARENS.match(s)
-    if m:
-        neg, s = True, m.group(1)
+    # regex-free parens test; the '\n' guard preserves the old ^\((.*)\)$
+    # semantics exactly (no DOTALL: an embedded newline never matched)
+    if len(s) >= 2 and s[0] == "(" and s[-1] == ")" and "\n" not in s:
+        neg, s = True, s[1:-1]
     # plain replace beats the [$,] regex sub (two C scans, no engine setup)
     s = s.replace("$", "").replace(",", "").strip()
     if _SIMPLE_NUM.match(s):

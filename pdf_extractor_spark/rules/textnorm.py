@@ -39,6 +39,12 @@ _ANY_REF = re.compile(
     r"|\d{4}\*|REF\s*\d|TRANS\s*\d|PURCHASE\s+AUTH\s+\d"
 )
 
+# cheaper gate in front of the gate: every one of the 8 strip patterns
+# requires at least one digit, so a digit-free description (the common case
+# for clean merchant names) skips even the _ANY_REF alternation — a \d scan
+# is a single-char-class pass vs the 8-branch ignorecase alternation
+_HAS_DIGIT = re.compile(r"\d")
+
 # R15: trailing artifacts (first_republic_bank_parser.py:430-432)
 _TRAILING_REF = re.compile(r"\s+\d+\s*$")
 _MASKED_CARD = re.compile(r"XXXXXXXXXXXX\d+")
@@ -66,7 +72,8 @@ def collapse_whitespace(s: str) -> str:
 
 def strip_trailing_artifacts(s: str) -> str:
     """R15: masked card then trailing ref-number run, same order as reference."""
-    s = _MASKED_CARD.sub("", s)
+    if "XXXXXXXXXXXX" in s:  # substring gate: memmem beats the regex scan
+        s = _MASKED_CARD.sub("", s)
     s = _TRAILING_REF.sub("", s)
     return s
 
@@ -82,7 +89,7 @@ def normalize_description(s: str, strip_trailing: bool = False) -> str:
     """
     if not s:
         return ""
-    if _ANY_REF.search(s):
+    if _HAS_DIGIT.search(s) and _ANY_REF.search(s):
         for pat in _REF_STRIP_PATTERNS:
             s = pat.sub("", s)
     if strip_trailing:

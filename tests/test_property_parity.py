@@ -119,3 +119,41 @@ def test_native_expr_matches_python_tier(spark):
             f"tier mismatch on {s!r}: native={got[i]!r} "
             f"python={normalize_description(s)!r}"
         )
+
+
+def _family_interleaved_corpus() -> list:
+    """Deterministic corpus hitting every generator family plus Nones and
+    free-text edge shapes, interleaved so the batch executor's family
+    grouping has to scatter results back across group boundaries."""
+    import random
+
+    from pdf_extractor_spark.sources.synth import FAMILY_GENERATORS
+
+    texts: list = []
+    for i in range(3):
+        for name, gen in FAMILY_GENERATORS:
+            texts.append(gen(random.Random(f"{name}:{i}")))
+        texts.extend([None, "", "   ", f"free text turn {i} REF 99"])
+    random.Random(7).shuffle(texts)
+    return texts
+
+
+def test_extract_turn_batch_matches_scalar():
+    """The family-grouped batch executor (rules.oracle.extract_turn_batch,
+    used by operators/extract.py's mapInPandas/mapInArrow bodies) must be
+    byte-identical to the scalar spec on every row — including None rows,
+    empty strings, and family-interleaved ordering — and must hand each
+    consumer FRESH result containers (no aliasing between null rows)."""
+    from pdf_extractor_spark.rules.oracle import extract_turn_batch
+
+    texts = _family_interleaved_corpus()
+    batch = extract_turn_batch(texts)
+    assert len(batch) == len(texts)
+    for t, got in zip(texts, batch):
+        assert got == extract_turn(t), f"batch/scalar mismatch on {t!r}"
+    # fresh containers: mutating one null row's spans must not leak
+    nulls = [r for t, r in zip(texts, batch) if t is None]
+    assert len(nulls) >= 2
+    nulls[0].spans.append((0, 0, "poison"))
+    assert nulls[1].spans == []
+    assert extract_turn_batch([]) == []
