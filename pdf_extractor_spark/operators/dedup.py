@@ -11,8 +11,9 @@ every hash is the cross-engine md5-prefix ``h32`` so the DuckDB oracle can
 reproduce results bit-for-bit.
 
 Scale notes (100 TB):
-  - minhash signatures are one narrow pass over the scan (16 array
-    traversals); no shuffle until the band-bucket join.
+  - minhash signatures are one narrow pass over the scan (ONE md5 per
+    token + 16 arithmetic permutation traversals); no shuffle until the
+    band-bucket join.
   - the band join shuffles only (band_id, 16-byte key, doc_id) — tiny rows.
   - pathological buckets (boilerplate-identical docs) blow up m^2/2; at scale
     cap bucket size (count per key, drop or sample keys with > B members —
@@ -37,6 +38,19 @@ N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
 SIMHASH_BITS = 32
 
+# Universal-hash permutation family for MinHash: perm_i(h) = (A_i*h + B_i)
+# mod P over the 32-bit base hash h = h32(token). ONE md5 per token instead
+# of N_HASHES of them (the r3 scheme hashed 'p{i}:'||tok per permutation —
+# 16 md5 scans per token; the permutations are now integer multiply-adds in
+# whole-stage codegen). P is the largest prime < 2^32; A_i < 2^31 keeps
+# A_i*h < 2^63, so the arithmetic is exact (and ANSI-overflow-safe) in both
+# Spark bigint and DuckDB BIGINT — the oracle reproduces it bit-for-bit.
+# Constants are pinned by the seeded generator (deterministic across runs).
+MINHASH_PRIME = 4294967291
+_MINHASH_RNG = __import__("random").Random(20240517)
+MINHASH_A = [_MINHASH_RNG.randrange(1, 1 << 31) for _ in range(N_HASHES)]
+MINHASH_B = [_MINHASH_RNG.randrange(0, MINHASH_PRIME) for _ in range(N_HASHES)]
+
 
 def tokenized(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, toks) with distinct whitespace tokens; empty docs dropped.
@@ -49,15 +63,25 @@ def tokenized(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     ).where(F.size("toks") > 0)
 
 
-def minhash_signature_cols(toks=None) -> list:
-    """16 minhash columns: mh_i = min over tokens of h32('p{i}:'||tok)."""
+def token_hash_col(toks=None) -> F.Column:
+    """array<bigint> of per-token base hashes h32(tok) — computed ONCE per
+    token; the N_HASHES permutations are arithmetic over this array."""
     if toks is None:
         toks = F.col("toks")
+    return F.transform(toks, lambda t: h32(t))
+
+
+def minhash_signature_cols(hs=None) -> list:
+    """16 minhash columns over the pre-hashed token array ``hs``
+    (token_hash_col): mh_i = min over tokens of (A_i*h32(tok)+B_i) mod P."""
+    if hs is None:
+        hs = F.col("hs")
 
     def _mh(i: int):
+        a, b = MINHASH_A[i], MINHASH_B[i]
         # single-arg lambda (a 2-arg lambda would receive (element, index))
         return F.array_min(
-            F.transform(toks, lambda t: h32(F.concat(F.lit(f"p{i}:"), t)))
+            F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME)
         ).alias(f"mh{i}")
 
     return [_mh(i) for i in range(N_HASHES)]
@@ -105,8 +129,14 @@ def minhash_lsh_pairs(
     None (the gate default) disables the cap so the oracle mirror stays exact.
     """
     toks = tokenized(docs, id_col, text_col)
-    sig = toks.select(id_col, "toks", *minhash_signature_cols()).select(
-        id_col, "toks", *band_keys()
+    # three-step projection: hash each token once (the only md5 pass), then
+    # derive the 16 permutations arithmetically, then band. CollapseProject
+    # keeps the expensive `hs` transform un-inlined (16 references to a
+    # non-cheap expression), so the md5 pass stays single in the final plan.
+    sig = (
+        toks.select(id_col, "toks", token_hash_col().alias("hs"))
+        .select(id_col, "toks", *minhash_signature_cols())
+        .select(id_col, "toks", *band_keys())
     )
     bands = sig.select(
         F.col(id_col).alias("bid"),

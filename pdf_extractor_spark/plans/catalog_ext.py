@@ -54,16 +54,19 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash_full_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH over the FULL documents table with the bucket cap engaged
     (max_bucket=64): the production configuration. On the dup-dense synthetic
-    corpus the cap removes the quadratic mega-bucket blowup (sf0.1: 963k
-    pairs/30s uncapped -> 670 pairs/7s capped); surviving pairs are genuine
-    near-dups outside boilerplate-identical clusters."""
+    corpus the cap removes the quadratic mega-bucket blowup (sf0.1: ~1M
+    pairs/~30s uncapped -> a few hundred pairs in ~2s capped); surviving
+    pairs are genuine near-dups outside boilerplate-identical clusters."""
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, threshold=0.9, max_bucket=64)
 
 
 def _minhash_lsh_oracle(where: str = "doc_id < 500", cap: int | None = None) -> str:
+    from ..operators.dedup import MINHASH_A, MINHASH_B, MINHASH_PRIME
+
     mh = ",\n    ".join(
-        f"list_min([{h32_sql(chr(39) + f'p{i}:' + chr(39) + ' || t')} for t in toks]) AS mh{i}"
+        f"list_min([({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_PRIME}"
+        f" for h in hs]) AS mh{i}"
         for i in range(N_HASHES)
     )
     bands = ",\n    ".join(
@@ -91,10 +94,13 @@ def _minhash_lsh_oracle(where: str = "doc_id < 500", cap: int | None = None) -> 
           SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
           FROM documents WHERE {where}
             AND len(list_distinct(string_split(text, ' '))) > 0),
+        toksh AS (
+          SELECT doc_id, toks, [{h32_sql('t')} for t in toks] AS hs
+          FROM toks),
         sig AS (
           SELECT doc_id, toks,
     {mh}
-          FROM toks),
+          FROM toksh),
         sigb AS (
           SELECT doc_id,
     {bands}

@@ -45,6 +45,10 @@ def near_dup_components(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id
         pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
         .union(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
         .distinct()
+        # self-loops fold the "keep my own label" left-join into the
+        # neighbor-min aggregation: min over {self} ∪ neighbors in ONE
+        # groupBy — one fewer shuffle of the label relation per round
+        .union(nodes.select(F.col("node").alias("a"), F.col("node").alias("b")))
         # materialize ONCE: the edge relation feeds every propagation round,
         # and recomputing it would re-run the (expensive) near-dup pair
         # derivation — e.g. the full MinHash signature pass — per iteration
@@ -52,17 +56,21 @@ def near_dup_components(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id
     )
     labels = nodes.select("node", F.col("node").alias("comp"))
     while True:
-        neigh = (
+        from pyspark.sql import Observation
+
+        new = (
             edges.join(labels, edges.b == labels.node)
             .groupBy("a")
-            .agg(F.min("comp").alias("ncomp"))
-        )
-        new = (
-            labels.join(neigh, labels.node == neigh.a, "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"),
+            .agg(
+                F.min("comp").alias("comp"),
+                # the self-loop row (a,a) carries a's previous label: a
+                # conditional min in the SAME agg recovers it for the
+                # convergence metric without touching the old labels again
+                F.min(F.when(F.col("b") == F.col("a"), F.col("comp"))).alias(
+                    "old_comp"
+                ),
             )
+            .select(F.col("a").alias("node"), "old_comp", "comp")
         )
         # pointer-jumping compression: also adopt the label OF my label
         # (comp[comp]) — turns O(diameter) rounds into O(log diameter); the
@@ -72,18 +80,20 @@ def near_dup_components(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id
             new.join(lbl, new.comp == F.col("lnode"), "left")
             .select(
                 "node",
+                "old_comp",
                 F.least(F.col("comp"), F.coalesce("lcomp", F.col("comp"))).alias("comp"),
             )
         )
+        # convergence test rides the checkpoint job: old_comp is carried
+        # through the round's plan, so sum(comp != old_comp) costs nothing
+        # extra — no per-round join against the previous labels and no
+        # separate probe job (labels are monotone decreasing, so a round
+        # with zero changes is THE fixed point)
+        obs = Observation()
+        new = new.observe(obs, F.sum((F.col("comp") != F.col("old_comp")).cast("long")).alias("changed"))
         new = new.localCheckpoint(eager=True)  # cut the iterative lineage
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new
+        changed = obs.get["changed"]
+        labels = new.drop("old_comp")
         if changed == 0:
             break
     return labels.select(
@@ -110,22 +120,39 @@ def near_dup_components_star(
         itself re-attach to the minimum.
 
     Each round is two shuffles on the node key; edge relations are
-    localCheckpointed per round to cut iterative lineage. Convergence test
-    is a two-sided anti-join emptiness probe (no data collected)."""
+    localCheckpointed per round to cut iterative lineage. Convergence test:
+    consecutive edge sets are DISTINCT relations, so equality ⟺ equal
+    cardinality ∧ one-sided inclusion. Cardinalities ride the checkpoint
+    jobs as observe() metrics (zero extra jobs); the left-anti inclusion
+    probe only runs on rounds whose counts match — i.e. (coincidences
+    aside) exactly once, at the fixed point — and AQE broadcasts its small
+    side, where the old exceptAll pair shuffled both full sets per round."""
+    from pyspark.sql import Observation
+
     nodes = docs.select(F.col(id_col).alias("node")).distinct()
+    obs0 = Observation()
     edges = (
         pairs.select(F.col("d1").alias("u"), F.col("d2").alias("v"))
         .union(pairs.select(F.col("d2").alias("u"), F.col("d1").alias("v")))
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+    n_edges = obs0.get["n"]
     while True:
-        # large-star over the bidirected relation
-        bid = (
-            edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-            .distinct()
-        )
+        # large-star over the bidirected relation. bid KEEPS its distinct:
+        # both consumers (lmin's groupBy and the lm join) shuffle on u, so
+        # the distinct's exchange is planned once and REUSED — dropping it
+        # makes each branch recompute the union instead (measured slower).
+        # The downstream large/ori distincts ARE dropped: their consumers
+        # are min-aggregations (duplicate-insensitive) or joins whose
+        # duplicates the round's final distinct washes, with the duplicate
+        # factor bounded by the join multiplicities — two fewer
+        # full-relation dedup shuffles per round.
+        bid = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
         lmin = bid.groupBy("u").agg(F.min("v").alias("mv"))
         lm = lmin.select("u", F.least("u", "mv").alias("m"))
         large = (
@@ -133,9 +160,10 @@ def near_dup_components_star(
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
-        # small-star over the parent-ward orientation
+        # small-star over the parent-ward orientation; ori keeps its
+        # distinct for the same exchange-reuse reason as bid (smin's
+        # groupBy and the attach join both shuffle it on u)
         ori = (
             large.select(
                 F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
@@ -150,16 +178,22 @@ def near_dup_components_star(
             .where(F.col("u") != F.col("v"))
         )
         attach_self = smin.select("u", F.col("m").alias("v"))
-        new = attach_neighbors.union(attach_self).distinct().localCheckpoint(eager=True)
-        # short-circuit the convergence probe: in the common non-converged
-        # round the first one-sided anti-join already answers, so the second
-        # exceptAll job (a full shuffle of both edge sets) only runs on the
-        # final round
-        changed = new.exceptAll(edges).limit(1).count()
-        if changed == 0:
-            changed = edges.exceptAll(new).limit(1).count()
-        edges = new
-        if changed == 0:
+        obs = Observation()
+        new = (
+            attach_neighbors.union(attach_self)
+            .distinct()
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        n_new = obs.get["n"]
+        converged = False
+        if n_new == n_edges:
+            # equal-size distinct sets: one-sided inclusion ⟺ equality
+            converged = (
+                new.join(edges, ["u", "v"], "left_anti").limit(1).count() == 0
+            )
+        edges, n_edges = new, n_new
+        if converged:
             break
     # at convergence the edge set is a forest of stars (u -> component min)
     parents = edges.groupBy("u").agg(F.min("v").alias("root"))
