@@ -555,20 +555,11 @@ _SIM_TOPK_ORACLE = _compose_union(
 # multimodal gates (fixed canonicalization + real oracles for metadata math)
 # ---------------------------------------------------------------------------
 
-def q_mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Media feature extraction gate — now VALUE-ORACLED (r2 VERDICT #2):
-    the fake decoder is deterministic arithmetic over the synthesized
-    payloads, so an independent plain-Python recomputation (below) provides
-    the expected table as an inline-VALUES oracle. Features render to a CSV
-    of floor(x*1e6+0.5) longs: integer rendering side-steps float-format
-    drift AND keeps the output scalar for the driver's pandas canonicalizer
-    (r01 'unhashable list' fix)."""
-    from ..operators.multimodal import extract_media_features, synth_media
-
-    feats = extract_media_features(synth_media(spark, 120, seed=42))
+def _mm_render(feats: DataFrame, decoder_tag: str) -> DataFrame:
     return feats.select(
         "media_id",
         "kind",
+        F.lit(decoder_tag).alias("decoder"),
         F.concat_ws(
             ",",
             F.transform(
@@ -578,6 +569,30 @@ def q_mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("features_csv"),
         F.col("n_bytes").cast("long").alias("n_bytes"),
     )
+
+
+def q_mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media feature extraction gate — VALUE-ORACLED (r2 VERDICT #2), and
+    since r4 it ALSO exercises the real-decoder injection point (r3 VERDICT
+    #7): the union's 'real' rows run ``extract_media_features(decoder=
+    real_media_decoder, allow_fake=False)`` over payloads that are genuine
+    BMP/PNG bytes (every filter type, both BMP row orders), while the oracle
+    recomputes their features straight from the closed-form pixel pattern —
+    never touching the codecs — so one wrong byte in encode OR decode fails
+    the hash. Features render to a CSV of floor(x*1e6+0.5) longs: integer
+    rendering side-steps float-format drift AND keeps the output scalar for
+    the driver's pandas canonicalizer (r01 'unhashable list' fix)."""
+    from ..operators.imagecodec import real_media_decoder, synth_media_real
+    from ..operators.multimodal import extract_media_features, synth_media
+
+    fake = _mm_render(extract_media_features(synth_media(spark, 120, seed=42)), "fake")
+    real = _mm_render(
+        extract_media_features(
+            synth_media_real(spark, 60), decoder=real_media_decoder, allow_fake=False
+        ),
+        "real",
+    )
+    return fake.unionByName(real)
 
 
 def _mm_media_oracle(n: int = 120, seed: int = 42) -> str:
@@ -601,15 +616,83 @@ def _mm_media_oracle(n: int = 120, seed: int = 42) -> str:
             for b in _hl.md5(payload).digest()[:8]
         ]
         rows.append(
-            f"(CAST({k} AS BIGINT), '{kinds[k % 3]}', "
+            f"(CAST({k} AS BIGINT), '{kinds[k % 3]}', 'fake', "
             f"'{','.join(feats)}', CAST({len(payload)} AS BIGINT))"
         )
+    rows.extend(_mm_real_oracle_rows())
     values = ",\n".join(rows)
     return f"""
     SELECT * FROM (VALUES
     {values}
-    ) AS t(media_id, kind, features_csv, n_bytes)
+    ) AS t(media_id, kind, decoder, features_csv, n_bytes)
     """
+
+
+def _mm_real_oracle_rows(n: int = 60) -> list[str]:
+    """Expected rows for the REAL-decoder half of the mm gate, computed from
+    the closed-form pixel pattern — the codecs in operators/imagecodec.py are
+    never called here. Feature doubles are integer-valued by construction so
+    the floor(x*1e6+0.5) render is exact. Payload sizes: BMP is closed-form
+    (54 + stride*h); PNG scanline filtering is re-implemented inline from the
+    spec (not imported) and sized through the same zlib level the encoder
+    uses, so an encoder deviation from the spec fails the n_bytes match."""
+    import zlib as _zl
+
+    out = []
+    for k in range(n):
+        w, h = 8 + k % 9, 6 + k % 7
+        rgb = bytearray(w * h * 3)
+        i = 0
+        for y in range(h):
+            for x in range(w):
+                base = k * 31 + y * 17 + x * 7
+                rgb[i] = base % 256
+                rgb[i + 1] = (base + 13) % 256
+                rgb[i + 2] = (base + 26) % 256
+                i += 3
+        feats = [
+            w,
+            h,
+            sum(rgb[0::3]) % 1000000,
+            sum(rgb[1::3]) % 1000000,
+            sum(rgb[2::3]) % 1000000,
+            min(rgb),
+            max(rgb),
+            _zl.adler32(bytes(rgb)) % 1000000,
+        ]
+        if k % 2 == 0:
+            n_bytes = 54 + ((w * 3 + 3) & ~3) * h
+        else:
+            raw, prev = bytearray(), bytes(w * 3)
+            for y in range(h):
+                row = bytes(rgb[y * w * 3 : (y + 1) * w * 3])
+                ft = y % 5
+                raw.append(ft)
+                if ft == 0:
+                    raw += row
+                else:
+                    for j in range(len(row)):
+                        a = row[j - 3] if j >= 3 else 0
+                        b, c = prev[j], (prev[j - 3] if j >= 3 else 0)
+                        if ft == 1:
+                            raw.append((row[j] - a) & 0xFF)
+                        elif ft == 2:
+                            raw.append((row[j] - b) & 0xFF)
+                        elif ft == 3:
+                            raw.append((row[j] - (a + b) // 2) & 0xFF)
+                        else:
+                            p = a + b - c
+                            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                            raw.append((row[j] - pred) & 0xFF)
+                prev = row
+            n_bytes = 8 + 25 + 12 + len(_zl.compress(bytes(raw), 6)) + 12
+        feats_csv = ",".join(str(v * 1000000) for v in feats)
+        out.append(
+            f"(CAST({k} AS BIGINT), 'image', 'real', "
+            f"'{feats_csv}', CAST({n_bytes} AS BIGINT))"
+        )
+    return out
 
 
 def q_mm_plan_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
