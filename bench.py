@@ -368,11 +368,101 @@ def scaling(lo: int = 4, hi: int = 16) -> None:
     )
 
 
+def components_chain(sizes: tuple[int, ...] = (2_000, 20_000, 200_000)) -> None:
+    """Adversarial-graph components bench (r3 VERDICT #5): min-label
+    propagation (+pointer jumping) vs Large-Star/Small-Star on LONG-CHAIN
+    pair graphs — the exact graph class the star variant exists for
+    (diameter = n-1; near-dup graphs from template drift look like this) —
+    plus a short-diameter clusters control where propagation's cheaper
+    per-round plan should win. Reports rounds-to-converge and wall per
+    (graph, algo) and cross-checks that both algorithms produce the
+    identical min-labelled components (sum + count checksum)."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.plans.llm_extras import (
+        near_dup_components,
+        near_dup_components_star,
+    )
+    from pdf_extractor_spark.session import get_spark
+
+    load_start = _loadavg()
+    spark = get_spark("chain", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    graphs = []
+    for n in sizes:
+        docs = spark.range(n).select(F.col("id").alias("doc_id"))
+        chain = spark.range(n - 1).select(
+            F.col("id").alias("d1"), (F.col("id") + 1).alias("d2")
+        )
+        graphs.append((f"chain_{n}", docs, chain))
+    # control at the largest size: same node count, diameter-2 clusters of 10
+    # (hub-and-spoke), the shape dense near-dup clusters actually have
+    n = sizes[-1]
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    clusters = (
+        spark.range(n)
+        .where(F.col("id") % 10 != 0)
+        .select((F.col("id") - F.col("id") % 10).alias("d1"), F.col("id").alias("d2"))
+    )
+    graphs.append((f"clusters10_{n}", docs, clusters))
+
+    rows = []
+    mismatches = []
+    for gname, gdocs, gpairs in graphs:
+        gpairs = gpairs.localCheckpoint(eager=True)  # generation outside the timing
+        checks = {}
+        for aname, fn in (
+            ("propagation", near_dup_components),
+            ("star", near_dup_components_star),
+        ):
+            stats: dict = {}
+            t0 = time.perf_counter()
+            out = fn(gdocs, gpairs, stats=stats)
+            # the checksum agg forces full computation and doubles as the
+            # cross-algorithm agreement check (both label by component min,
+            # so identical labelings => identical sum + distinct count)
+            chk = out.agg(
+                F.sum("component").alias("s"),
+                F.countDistinct("component").alias("c"),
+            ).collect()[0]
+            sec = time.perf_counter() - t0
+            checks[aname] = (int(chk["s"]), int(chk["c"]))
+            rows.append(
+                {
+                    "graph": gname,
+                    "algo": aname,
+                    "sec": round(sec, 3),
+                    "rounds": stats.get("rounds"),
+                    "n_components": int(chk["c"]),
+                }
+            )
+        if checks["propagation"] != checks["star"]:
+            mismatches.append({"graph": gname, "checksums": checks})
+    spark.stop()
+    _emit(
+        {
+            "metric": "components_chain_bench",
+            "value": round(sum(r["sec"] for r in rows), 3),
+            "unit": "sec",
+            "results": rows,
+            "agreement": "ok" if not mismatches else mismatches,
+            "cpus": int(CPUS),
+            "window": _window_health(load_start),
+        }
+    )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--scaling-child":
         print(json.dumps(_scaling_child(int(sys.argv[2]), SF_DIR)))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
         scaling(lo, lo * 4)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--components-chain":
+        if len(sys.argv) > 2:
+            components_chain(tuple(int(x) for x in sys.argv[2:]))
+        else:
+            components_chain()
     else:
         main()

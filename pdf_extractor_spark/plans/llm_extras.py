@@ -26,7 +26,12 @@ def _r6(col) -> F.Column:
 # near-dup connected components (dedup GROUPS, not just pairs)
 # ---------------------------------------------------------------------------
 
-def near_dup_components(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def near_dup_components(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    stats: dict | None = None,
+) -> DataFrame:
     """Connected components over a near-dup pair relation by iterative
     min-label propagation: every node starts as its own component; each round
     every node takes the min label among itself and its neighbors; monotone
@@ -41,9 +46,22 @@ def near_dup_components(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id
     collected.
     """
     nodes = docs.select(F.col(id_col).alias("node")).distinct()
+    # bidirect via explode, not union-of-self-projections: ONE scan of the
+    # pair relation instead of two, and it sidesteps a Spark 4.1 analyzer
+    # crash (UnionBase.rewriteConstraints: "key not found") when the caller
+    # passes a localCheckpointed pair relation — both union branches then
+    # share the LogicalRDD's attribute ids and the constraint rewrite maps
+    # one branch's attributes only
     edges = (
-        pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
-        .union(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("d1").alias("a"), F.col("d2").alias("b")),
+                    F.struct(F.col("d2").alias("a"), F.col("d1").alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .distinct()
         # self-loops fold the "keep my own label" left-join into the
         # neighbor-min aggregation: min over {self} ∪ neighbors in ONE
@@ -55,7 +73,9 @@ def near_dup_components(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id
         .localCheckpoint(eager=True)
     )
     labels = nodes.select("node", F.col("node").alias("comp"))
+    rounds = 0
     while True:
+        rounds += 1
         from pyspark.sql import Observation
 
         new = (
@@ -96,6 +116,8 @@ def near_dup_components(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id
         labels = new.drop("old_comp")
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select(
         F.col("node").alias(id_col),
         F.col("comp").alias("component"),
@@ -104,7 +126,10 @@ def near_dup_components(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id
 
 
 def near_dup_components_star(
-    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components by alternating Large-Star/Small-Star rounds
     (Kiveris et al., 'Connected Components in MapReduce and Beyond'): the
@@ -131,16 +156,28 @@ def near_dup_components_star(
 
     nodes = docs.select(F.col(id_col).alias("node")).distinct()
     obs0 = Observation()
+    # explode-bidirect for the same two reasons as near_dup_components:
+    # one input scan, and no union-of-self-projections over a possibly
+    # checkpointed pair relation (Spark 4.1 rewriteConstraints crash)
     edges = (
-        pairs.select(F.col("d1").alias("u"), F.col("d2").alias("v"))
-        .union(pairs.select(F.col("d2").alias("u"), F.col("d1").alias("v")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("d1").alias("u"), F.col("d2").alias("v")),
+                    F.struct(F.col("d2").alias("u"), F.col("d1").alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .where(F.col("u") != F.col("v"))
         .distinct()
         .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
     n_edges = obs0.get["n"]
+    rounds = 0
     while True:
+        rounds += 1
         # large-star over the bidirected relation. bid KEEPS its distinct:
         # both consumers (lmin's groupBy and the lm join) shuffle on u, so
         # the distinct's exchange is planned once and REUSED — dropping it
@@ -195,6 +232,8 @@ def near_dup_components_star(
         edges, n_edges = new, n_new
         if converged:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     # at convergence the edge set is a forest of stars (u -> component min)
     parents = edges.groupBy("u").agg(F.min("v").alias("root"))
     labels = nodes.join(parents, nodes.node == parents.u, "left").select(

@@ -92,3 +92,20 @@ def test_star_equals_propagation_on_random_graph(spark):
     prop = {(r.doc_id, r.component) for r in near_dup_components(docs, pairs).collect()}
     assert star == want
     assert prop == want
+
+
+def test_both_variants_accept_checkpointed_pairs(spark):
+    """Regression (round 4): a localCheckpointed pair relation — the right
+    call when pairs come from an expensive MinHash pass — used to crash
+    Spark 4.1's analyzer (UnionBase.rewriteConstraints "key not found")
+    because both branches of the bidirecting self-union shared the
+    LogicalRDD's attribute ids. The explode-based bidirection must keep
+    both algorithms working on checkpointed input, with round counters
+    reported via the stats hook."""
+    docs = _docs(spark, 40)
+    pairs = _pairs(spark, [(i, i + 1) for i in range(39)]).localCheckpoint(eager=True)
+    for fn in (near_dup_components, near_dup_components_star):
+        stats: dict = {}
+        out = {(r.doc_id, r.component) for r in fn(docs, pairs, stats=stats).collect()}
+        assert out == {(i, 0) for i in range(40)}
+        assert stats["rounds"] >= 1
