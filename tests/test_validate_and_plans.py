@@ -103,3 +103,33 @@ def test_sample_stratified_is_narrow(spark):
     with redirect_stdout(buf):
         llm_extras.q_sample_stratified(spark, SF).explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_window_consumers_plan_single_exchange(spark):
+    """r3 VERDICT #4 adoption audit, pinned: every registry entry whose plan
+    is 'one window spec over one table' must plan exactly ONE shuffle — the
+    ranking sweep (3 ranking functions), sessionize (lag + cumulative sum,
+    two frames), per-key argmax, the sequential id, and the last-row
+    provenance ladder all share their partitionBy/orderBy across every
+    window function they compute. Multi-exchange registry entries were
+    audited alongside (round 4): each of their exchanges serves a distinct
+    join/agg key, so there is nothing left to share."""
+    import re
+
+    from pdf_extractor_spark.plans import catalog, catalog_ext2
+
+    def n_exchanges(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return len(re.findall(r"\(\d+\) Exchange", buf.getvalue()))
+
+    single = {
+        "o3_top1_per_key": catalog.q_o3_top1_per_key,
+        "w7_ranking_suite": catalog.q_w7_ranking_suite,
+        "w6_sessionize": catalog.q_w6_sessionize,
+        "r21_sequential_id": catalog.q_r21_sequential_id,
+        "r11_last_row_provenance": catalog_ext2.q_r11_last_row_provenance,
+    }
+    for name, fn in single.items():
+        assert n_exchanges(fn(spark, SF)) == 1, name
