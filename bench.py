@@ -57,6 +57,9 @@ def _headline():
         ("pack_sequences", llm_extras.q_pack_sequences),
         ("sample_stratified", llm_extras.q_sample_stratified),
         ("tfidf_topk", llm_extras.q_tfidf_topk),
+        # round-4 text-pipeline ops
+        ("text_pii_scrub", catalog_ext.q_text_pii_scrub),
+        ("text_repetition", catalog_ext.q_text_repetition),
     ]
 
 

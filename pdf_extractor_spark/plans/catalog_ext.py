@@ -360,6 +360,180 @@ def q_text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PII scrub + repetition signals (round 4: the two standard pretraining-
+# pipeline text gates the inventory lacked — Gopher/MassiveText-style
+# repetition rules and regex PII redaction)
+# ---------------------------------------------------------------------------
+
+# PII patterns chosen for identical semantics under Java regex (Spark) and
+# RE2 (DuckDB): ASCII classes, \b word boundaries, bounded quantifiers only.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"  # 3-2-4 grouping: disjoint from phone's 3-3-4
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_URL = r"https?://[A-Za-z0-9./_-]+"
+
+
+def _pii_augmented(docs: DataFrame) -> F.Column:
+    """Deterministic PII exemplar injection (the _BAD_TURNS discipline,
+    plans/catalog_ext2.py: synthetic corpora carry no PII, and a scrub gate
+    that never fires is vacuous — the r2 quarantine lesson). Every doc_id
+    residue class gets a different PII shape appended; the oracle builds the
+    byte-identical augmented text in SQL."""
+    did = F.col("doc_id")
+    t = F.col("text")
+    return (
+        F.when(did % 5 == 0, F.concat(t, F.lit(" contact user"), did.cast("string"), F.lit("@example.com now")))
+        .when(did % 5 == 1, F.concat(t, F.lit(" call 415-555-01"), (did % 10).cast("string"), (did % 7).cast("string"), F.lit(" or 303-555-0100")))
+        .when(did % 5 == 2, F.concat(t, F.lit(" ssn 123-45-98"), (did % 10).cast("string"), (did % 3).cast("string"), F.lit(" on file")))
+        .when(did % 5 == 3, F.concat(t, F.lit(" from 10.0."), (did % 256).cast("string"), F.lit(".7 see https://docs.example.org/guide page")))
+        .otherwise(t)
+    )
+
+
+_PII_AUG_SQL = """
+    CASE doc_id % 5
+      WHEN 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+      WHEN 1 THEN text || ' call 415-555-01' || CAST(doc_id % 10 AS VARCHAR) || CAST(doc_id % 7 AS VARCHAR) || ' or 303-555-0100'
+      WHEN 2 THEN text || ' ssn 123-45-98' || CAST(doc_id % 10 AS VARCHAR) || CAST(doc_id % 3 AS VARCHAR) || ' on file'
+      WHEN 3 THEN text || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 see https://docs.example.org/guide page'
+      ELSE text
+    END
+"""
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact, all native regexp functions (zero UDF, narrow
+    plan): per-doc counts of emails / phones / SSNs / IPv4s / URLs, the first
+    URL's domain, and the tail of the fully-redacted text (each PII class
+    replaced by its placeholder token). At 100 TB this is a stateless map —
+    embarrassingly parallel, whole-stage-codegen'd, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = _pii_augmented(docs)
+    red = F.regexp_replace(aug, _PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, _PII_URL, "<URL>")
+    red = F.regexp_replace(red, _PII_SSN, "<SSN>")
+    red = F.regexp_replace(red, _PII_PHONE, "<PHONE>")
+    red = F.regexp_replace(red, _PII_IP, "<IP>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(aug, F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_count(aug, F.lit(_PII_SSN)).cast("long").alias("n_ssns"),
+        F.regexp_count(aug, F.lit(_PII_IP)).cast("long").alias("n_ips"),
+        F.regexp_count(aug, F.lit(_PII_URL)).cast("long").alias("n_urls"),
+        F.regexp_extract(aug, r"https?://([A-Za-z0-9.-]+)", 1).alias("url_domain"),
+        F.right(red, F.lit(60)).alias("redacted_tail"),
+    )
+
+
+def _pii_oracle() -> str:
+    def cnt(pat: str) -> str:
+        return f"CAST(len(regexp_extract_all(atext, '{pat}')) AS BIGINT)"
+
+    return f"""
+        WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS atext FROM documents),
+        red AS (SELECT doc_id, atext,
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              atext, '{_PII_EMAIL}', '<EMAIL>', 'g'), '{_PII_URL}', '<URL>', 'g'),
+              '{_PII_SSN}', '<SSN>', 'g'), '{_PII_PHONE}', '<PHONE>', 'g'),
+              '{_PII_IP}', '<IP>', 'g') AS rtext
+          FROM aug)
+        SELECT doc_id,
+               {cnt(_PII_EMAIL)} AS n_emails,
+               {cnt(_PII_PHONE)} AS n_phones,
+               {cnt(_PII_SSN)} AS n_ssns,
+               {cnt(_PII_IP)} AS n_ips,
+               {cnt(_PII_URL)} AS n_urls,
+               regexp_extract(atext, 'https?://([A-Za-z0-9.-]+)', 1) AS url_domain,
+               right(rtext, 60) AS redacted_tail
+        FROM red
+    """
+
+
+_REP_AUG_SQL = """
+    CASE doc_id % 4
+      WHEN 1 THEN text || chr(10) || 'repeated filler line' || chr(10) || 'repeated filler line' || chr(10) || '- bullet item' || chr(10) || 'section trails off...'
+      WHEN 3 THEN text || chr(10) || '- alpha' || chr(10) || '- beta' || chr(10) || 'unique closing line'
+      ELSE text
+    END
+"""
+
+
+def _rep_augmented() -> F.Column:
+    did = F.col("doc_id")
+    t = F.col("text")
+    return (
+        F.when(did % 4 == 1, F.concat(t, F.lit("\nrepeated filler line\nrepeated filler line\n- bullet item\nsection trails off...")))
+        .when(did % 4 == 3, F.concat(t, F.lit("\n- alpha\n- beta\nunique closing line")))
+        .otherwise(t)
+    )
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style repetition signals: word-level (top-word
+    share in ppm, distinct-word count — the dominant-token rule) via the
+    distributed word-count shape (explode -> two-level partial agg; the
+    100 TB formulation), and line-level (duplicate-line count, bullet-line
+    and ellipsis-line counts) via native higher-order array functions over
+    an injected multi-line exemplar (the corpus is single-line; the oracle
+    injects byte-identically). top_word_share_ppm uses integer div — no
+    float round-trip to flap the value hash."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+    wm = (
+        words.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("rep_n_words"),
+            F.count(F.lit(1)).alias("rep_n_distinct"),
+            F.max("c").alias("maxc"),
+        )
+        .select(
+            "doc_id",
+            "rep_n_words",
+            "rep_n_distinct",
+            F.expr("(maxc * 1000000) div rep_n_words").alias("top_word_share_ppm"),
+        )
+    )
+    lines = F.split(_rep_augmented(), "\n")
+    lm = docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        (F.size(lines) - F.size(F.array_distinct(lines))).cast("long").alias("n_dup_lines"),
+        F.size(F.filter(lines, lambda x: x.startswith("- "))).cast("long").alias("n_bullet_lines"),
+        F.size(F.filter(lines, lambda x: x.endswith("..."))).cast("long").alias("n_ellipsis_lines"),
+    )
+    return wm.join(lm, "doc_id")
+
+
+_REPETITION_ORACLE = f"""
+    WITH wc AS (
+      SELECT doc_id, w AS word, count(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY doc_id, w),
+    wm AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rep_n_words,
+             CAST(COUNT(*) AS BIGINT) AS rep_n_distinct,
+             CAST(MAX(c) AS BIGINT) AS maxc
+      FROM wc GROUP BY doc_id),
+    aug AS (SELECT doc_id, {_REP_AUG_SQL} AS atext FROM documents),
+    lm AS (
+      SELECT doc_id,
+             CAST(len(string_split(atext, chr(10))) AS BIGINT) AS n_lines,
+             CAST(len(string_split(atext, chr(10))) - len(list_distinct(string_split(atext, chr(10)))) AS BIGINT) AS n_dup_lines,
+             CAST(len(list_filter(string_split(atext, chr(10)), x -> x LIKE '- %')) AS BIGINT) AS n_bullet_lines,
+             CAST(len(list_filter(string_split(atext, chr(10)), x -> x LIKE '%...')) AS BIGINT) AS n_ellipsis_lines
+      FROM aug)
+    SELECT wm.doc_id, rep_n_words, rep_n_distinct,
+           (maxc * 1000000) // rep_n_words AS top_word_share_ppm,
+           n_lines, n_dup_lines, n_bullet_lines, n_ellipsis_lines
+    FROM wm JOIN lm ON wm.doc_id = lm.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # fuzzy matching (J2)
 # ---------------------------------------------------------------------------
 
@@ -538,5 +712,7 @@ ORACLES_EXT: dict[str, str] = {
     "text_fingerprint": _FINGERPRINT_ORACLE,
     "text_readability": _READABILITY_ORACLE,
     "text_bpe_token_count": _BPE_ORACLE,
+    "text_pii_scrub": _pii_oracle(),
+    "text_repetition": _REPETITION_ORACLE,
     "j2_fuzzy_topk": _J2_ORACLE,
 }

@@ -368,15 +368,21 @@ _P3_P6_ORACLE = _compose_join(
 def q_text_features_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis ladder in one gate entry: stopword ratio + quality score
     (catalog) + language ID + ARI readability + rolling fingerprint + BPE-ish
-    token count (catalog_ext), joined 1:1 on doc_id."""
+    token count + PII scrub + repetition signals (catalog_ext), joined 1:1
+    on doc_id. The PII and repetition tiers (round 4) carry injected
+    exemplars — synthetic docs have no PII and no newlines, so both oracles
+    inject byte-identically (the _BAD_TURNS discipline)."""
     a = catalog.q_text_stopword_ratio(spark, sf_dir)
     b = catalog.q_text_quality_score(spark, sf_dir)
     c = catalog_ext.q_text_langid(spark, sf_dir)
     d = catalog_ext.q_text_readability(spark, sf_dir)
     e = catalog_ext.q_text_fingerprint(spark, sf_dir)
     f = catalog_ext.q_text_bpe_token_count(spark, sf_dir)
+    g = catalog_ext.q_text_pii_scrub(spark, sf_dir)
+    h = catalog_ext.q_text_repetition(spark, sf_dir)
     return (
         a.join(b, "doc_id").join(c, "doc_id").join(d, "doc_id").join(e, "doc_id").join(f, "doc_id")
+        .join(g, "doc_id").join(h, "doc_id")
     )
 
 
@@ -389,6 +395,8 @@ _TEXT_FEATURES_ORACLE = _compose_join(
         ("rd", catalog_ext.ORACLES_EXT["text_readability"]),
         ("fp", catalog_ext.ORACLES_EXT["text_fingerprint"]),
         ("bp", catalog_ext.ORACLES_EXT["text_bpe_token_count"]),
+        ("pi", catalog_ext.ORACLES_EXT["text_pii_scrub"]),
+        ("rp", catalog_ext.ORACLES_EXT["text_repetition"]),
     ],
     [
         "doc_id",
@@ -403,6 +411,20 @@ _TEXT_FEATURES_ORACLE = _compose_join(
         "rd.n_sentences",
         "fp.fingerprint",
         "bp.n_bpe_tokens",
+        "pi.n_emails",
+        "pi.n_phones",
+        "pi.n_ssns",
+        "pi.n_ips",
+        "pi.n_urls",
+        "pi.url_domain",
+        "pi.redacted_tail",
+        "rp.rep_n_words",
+        "rp.rep_n_distinct",
+        "rp.top_word_share_ppm",
+        "rp.n_lines",
+        "rp.n_dup_lines",
+        "rp.n_bullet_lines",
+        "rp.n_ellipsis_lines",
     ],
 )
 

@@ -250,3 +250,36 @@ def test_normalize_sign_nan_and_infinity_match_decimal_hop():
     assert normalize_sign(-inf, "credit") == inf
     assert normalize_sign(inf, None) == inf
     assert normalize_sign(inf, "debit", is_charge_positive=True) == -inf
+
+
+def test_pii_scrub_fires_and_redacts(spark):
+    """Round-4 PII tier non-vacuity: every injected residue class fires its
+    counter, and the redacted tail carries the placeholder token (i.e. the
+    scrub actually rewrites bytes, not just counts)."""
+    from pdf_extractor_spark.plans import catalog_ext
+
+    rows = {r.doc_id: r for r in catalog_ext.q_text_pii_scrub(spark, "/root/testdata/sf0.01").collect()}
+    assert rows[0].n_emails >= 1 and "<EMAIL>" in rows[0].redacted_tail
+    assert rows[1].n_phones >= 2 and "<PHONE>" in rows[1].redacted_tail
+    assert rows[2].n_ssns >= 1 and "<SSN>" in rows[2].redacted_tail
+    assert rows[3].n_ips >= 1 and rows[3].n_urls >= 1
+    assert "<IP>" in rows[3].redacted_tail and "<URL>" in rows[3].redacted_tail
+    assert rows[3].url_domain == "docs.example.org"
+    # the untouched residue class stays silent: no false positives on the
+    # word-soup corpus
+    assert rows[4].n_emails == rows[4].n_phones == rows[4].n_ssns == 0
+
+
+def test_repetition_signals_fire(spark):
+    """Round-4 repetition tier non-vacuity: injected duplicate/bullet/
+    ellipsis lines are counted; word-soup docs have top_word_share > 0."""
+    from pdf_extractor_spark.plans import catalog_ext
+
+    rows = {r.doc_id: r for r in catalog_ext.q_text_repetition(spark, "/root/testdata/sf0.01").collect()}
+    assert rows[1].n_dup_lines >= 1  # 'repeated filler line' x2
+    assert rows[1].n_bullet_lines == 1 and rows[1].n_ellipsis_lines == 1
+    assert rows[3].n_bullet_lines == 2 and rows[3].n_dup_lines == 0
+    assert rows[0].n_lines == 1 and rows[0].n_dup_lines == 0
+    for r in rows.values():
+        assert 0 < r.top_word_share_ppm <= 1_000_000
+        assert r.rep_n_distinct <= r.rep_n_words
