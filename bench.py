@@ -60,6 +60,7 @@ def _headline():
         # round-4 text-pipeline ops
         ("text_pii_scrub", catalog_ext.q_text_pii_scrub),
         ("text_repetition", catalog_ext.q_text_repetition),
+        ("text_decontaminate", catalog_ext.q_text_decontaminate),
     ]
 
 

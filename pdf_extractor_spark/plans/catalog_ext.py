@@ -533,6 +533,96 @@ _REPETITION_ORACLE = f"""
 """
 
 
+# benchmark decontamination (round 4): the standard pretraining hygiene op —
+# flag training documents sharing long n-gram shingles with a held-out eval
+# set. Planted-passage injection keeps the gate non-vacuous independent of
+# the corpus; on top of that the synthetic corpus's deliberate near-duplicate
+# docs (planted for the dedup operators) are caught whenever their twin lands
+# in the eval split — the verbatim-leak class this op exists for (pinned in
+# tests/test_rules_units.py).
+
+_DECON_PASSAGE = (
+    " the quick benchmark passage that must never leak into training data"
+)  # 11 words; vocabulary disjoint from the synthetic soup
+
+
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-gram shingle decontamination against a held-out eval split
+    (doc_id % 50 == 0): per-doc distinct-shingle count, count of shingles
+    present in the eval set, and the contamination flag. Plan shape at
+    100 TB: per-doc shingling is a narrow higher-order-function map; the
+    eval shingle set is DISTINCT-reduced then broadcast, so the
+    contamination count is a map-side semi-join + partial agg — the fact
+    table is never shuffled by shingle. Exemplar injection: eval docs AND
+    doc_id % 7 == 3 training docs carry a planted passage, byte-identical
+    in the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 50 == 0
+    aug = F.concat(
+        F.col("text"),
+        F.when(is_eval | (F.col("doc_id") % 7 == 3), F.lit(_DECON_PASSAGE)).otherwise(F.lit("")),
+    )
+    w = F.split(aug, " ")
+    # guard: Spark sequence(1, n) with n < 1 infers a DESCENDING step —
+    # DuckDB's generate_series returns empty instead; the when() makes the
+    # short-doc behavior identical (no short docs in the corpus, but the
+    # operator must not depend on that)
+    shingles = F.when(
+        F.size(w) >= 8,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 7),
+                lambda i: F.array_join(F.slice(w, i, 8), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = docs.select("doc_id", F.explode(shingles).alias("shingle"))
+    ev = (
+        sh.where(F.col("doc_id") % 50 == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    cnt = (
+        sh.join(F.broadcast(ev), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("decon_n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("decon_n_contam"),
+        )
+    )
+    return cnt.select(
+        "doc_id",
+        "decon_n_shingles",
+        "decon_n_contam",
+        (F.col("doc_id") % 50 == 0).alias("is_eval"),
+        ((F.col("doc_id") % 50 != 0) & (F.col("decon_n_contam") > 0)).alias("contaminated"),
+    )
+
+
+_DECON_ORACLE = f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 50 = 0 OR doc_id % 7 = 3
+                          THEN '{_DECON_PASSAGE}' ELSE '' END AS atext
+      FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(string_split(atext, ' ')) - 7),
+               i -> array_to_string(string_split(atext, ' ')[i:i+7], ' ')))) AS shingle
+      FROM aug),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+    cnt AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS decon_n_shingles,
+             CAST(count(*) FILTER (WHERE shingle IN (SELECT shingle FROM ev)) AS BIGINT) AS decon_n_contam
+      FROM sh GROUP BY doc_id)
+    SELECT doc_id, decon_n_shingles, decon_n_contam,
+           doc_id % 50 = 0 AS is_eval,
+           (doc_id % 50 <> 0 AND decon_n_contam > 0) AS contaminated
+    FROM cnt
+"""
+
+
 # ---------------------------------------------------------------------------
 # fuzzy matching (J2)
 # ---------------------------------------------------------------------------
@@ -714,5 +804,6 @@ ORACLES_EXT: dict[str, str] = {
     "text_bpe_token_count": _BPE_ORACLE,
     "text_pii_scrub": _pii_oracle(),
     "text_repetition": _REPETITION_ORACLE,
+    "text_decontaminate": _DECON_ORACLE,
     "j2_fuzzy_topk": _J2_ORACLE,
 }

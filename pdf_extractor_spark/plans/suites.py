@@ -380,9 +380,10 @@ def q_text_features_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = catalog_ext.q_text_bpe_token_count(spark, sf_dir)
     g = catalog_ext.q_text_pii_scrub(spark, sf_dir)
     h = catalog_ext.q_text_repetition(spark, sf_dir)
+    i = catalog_ext.q_text_decontaminate(spark, sf_dir)
     return (
         a.join(b, "doc_id").join(c, "doc_id").join(d, "doc_id").join(e, "doc_id").join(f, "doc_id")
-        .join(g, "doc_id").join(h, "doc_id")
+        .join(g, "doc_id").join(h, "doc_id").join(i, "doc_id")
     )
 
 
@@ -397,6 +398,7 @@ _TEXT_FEATURES_ORACLE = _compose_join(
         ("bp", catalog_ext.ORACLES_EXT["text_bpe_token_count"]),
         ("pi", catalog_ext.ORACLES_EXT["text_pii_scrub"]),
         ("rp", catalog_ext.ORACLES_EXT["text_repetition"]),
+        ("dc", catalog_ext.ORACLES_EXT["text_decontaminate"]),
     ],
     [
         "doc_id",
@@ -425,6 +427,10 @@ _TEXT_FEATURES_ORACLE = _compose_join(
         "rp.n_dup_lines",
         "rp.n_bullet_lines",
         "rp.n_ellipsis_lines",
+        "dc.decon_n_shingles",
+        "dc.decon_n_contam",
+        "dc.is_eval",
+        "dc.contaminated",
     ],
 )
 

@@ -283,3 +283,31 @@ def test_repetition_signals_fire(spark):
     for r in rows.values():
         assert 0 < r.top_word_share_ppm <= 1_000_000
         assert r.rep_n_distinct <= r.rep_n_words
+
+
+def test_decontamination_flags_planted_passage(spark):
+    """Round-4 decontamination non-vacuity: train docs carrying the planted
+    passage (doc_id % 7 == 3, not eval) are flagged with >= 4 contaminated
+    shingles (the passage's 4 interior 8-grams; boundary shingles may add
+    more). Docs flagged WITHOUT the passage must be the corpus's planted
+    near-duplicates of an eval doc (long verbatim runs — the exact leak
+    class decontamination exists to catch): their contaminated-shingle
+    share must be high, not a one-shingle accident. And a majority of
+    train docs must remain clean."""
+    from pdf_extractor_spark.plans import catalog_ext
+
+    rows = catalog_ext.q_text_decontaminate(spark, "/root/testdata/sf0.01").collect()
+    n_clean = 0
+    for r in rows:
+        planted = r.doc_id % 7 == 3 and r.doc_id % 50 != 0
+        if r.is_eval:
+            assert r.doc_id % 50 == 0 and r.decon_n_contam > 0  # self-overlap
+        elif planted:
+            assert r.contaminated and r.decon_n_contam >= 4, r
+        elif r.contaminated:
+            # near-dup of an eval doc: verbatim-run overlap, not noise
+            assert r.decon_n_contam * 2 >= r.decon_n_shingles, r
+        else:
+            n_clean += 1
+            assert r.decon_n_contam == 0, r
+    assert n_clean > len(rows) // 2
