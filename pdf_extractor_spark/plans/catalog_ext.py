@@ -402,28 +402,43 @@ _PII_AUG_SQL = """
 """
 
 
-def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII detect + redact, all native regexp functions (zero UDF, narrow
-    plan): per-doc counts of emails / phones / SSNs / IPv4s / URLs, the first
-    URL's domain, and the tail of the fully-redacted text (each PII class
-    replaced by its placeholder token). At 100 TB this is a stateless map —
-    embarrassingly parallel, whole-stage-codegen'd, no shuffle."""
-    docs = _t(spark, sf_dir, "documents")
-    aug = _pii_augmented(docs)
-    red = F.regexp_replace(aug, _PII_EMAIL, "<EMAIL>")
+def pii_columns(text: F.Column) -> dict[str, F.Column]:
+    """The production PII op: native-regexp feature + redaction columns over
+    ANY text column (stateless map, whole-stage-codegen'd, no shuffle).
+    ``redacted`` is the full text with each PII class replaced by its
+    placeholder token. The gate below applies these to the
+    exemplar-augmented input; jobs/curate_job.py applies them to raw text."""
+    red = F.regexp_replace(text, _PII_EMAIL, "<EMAIL>")
     red = F.regexp_replace(red, _PII_URL, "<URL>")
     red = F.regexp_replace(red, _PII_SSN, "<SSN>")
     red = F.regexp_replace(red, _PII_PHONE, "<PHONE>")
     red = F.regexp_replace(red, _PII_IP, "<IP>")
+    return {
+        "n_emails": F.regexp_count(text, F.lit(_PII_EMAIL)).cast("long"),
+        "n_phones": F.regexp_count(text, F.lit(_PII_PHONE)).cast("long"),
+        "n_ssns": F.regexp_count(text, F.lit(_PII_SSN)).cast("long"),
+        "n_ips": F.regexp_count(text, F.lit(_PII_IP)).cast("long"),
+        "n_urls": F.regexp_count(text, F.lit(_PII_URL)).cast("long"),
+        "url_domain": F.regexp_extract(text, r"https?://([A-Za-z0-9.-]+)", 1),
+        "redacted": red,
+    }
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact gate: pii_columns over the exemplar-augmented
+    corpus, redaction evidenced by the tail of the redacted text (where the
+    injected PII lives)."""
+    docs = _t(spark, sf_dir, "documents")
+    c = pii_columns(_pii_augmented(docs))
     return docs.select(
         "doc_id",
-        F.regexp_count(aug, F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
-        F.regexp_count(aug, F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
-        F.regexp_count(aug, F.lit(_PII_SSN)).cast("long").alias("n_ssns"),
-        F.regexp_count(aug, F.lit(_PII_IP)).cast("long").alias("n_ips"),
-        F.regexp_count(aug, F.lit(_PII_URL)).cast("long").alias("n_urls"),
-        F.regexp_extract(aug, r"https?://([A-Za-z0-9.-]+)", 1).alias("url_domain"),
-        F.right(red, F.lit(60)).alias("redacted_tail"),
+        c["n_emails"].alias("n_emails"),
+        c["n_phones"].alias("n_phones"),
+        c["n_ssns"].alias("n_ssns"),
+        c["n_ips"].alias("n_ips"),
+        c["n_urls"].alias("n_urls"),
+        c["url_domain"].alias("url_domain"),
+        F.right(c["redacted"], F.lit(60)).alias("redacted_tail"),
     )
 
 
@@ -470,40 +485,56 @@ def _rep_augmented() -> F.Column:
     )
 
 
-def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher/MassiveText-style repetition signals: word-level (top-word
-    share in ppm, distinct-word count — the dominant-token rule) via the
-    distributed word-count shape (explode -> two-level partial agg; the
-    100 TB formulation), and line-level (duplicate-line count, bullet-line
-    and ellipsis-line counts) via native higher-order array functions over
-    an injected multi-line exemplar (the corpus is single-line; the oracle
-    injects byte-identically). top_word_share_ppm uses integer div — no
-    float round-trip to flap the value hash."""
-    docs = _t(spark, sf_dir, "documents")
-    words = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
-    wm = (
-        words.groupBy("doc_id", "word")
+def word_repetition(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Word-level repetition metrics (the dominant-token rule) via the
+    distributed word-count shape: explode -> two-level partial agg — the
+    100 TB formulation. top_word_share_ppm uses integer div — no float
+    round-trip to flap a value hash."""
+    words = docs.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("word"))
+    return (
+        words.groupBy(id_col, "word")
         .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
+        .groupBy(id_col)
         .agg(
             F.sum("c").alias("rep_n_words"),
             F.count(F.lit(1)).alias("rep_n_distinct"),
             F.max("c").alias("maxc"),
         )
         .select(
-            "doc_id",
+            id_col,
             "rep_n_words",
             "rep_n_distinct",
             F.expr("(maxc * 1000000) div rep_n_words").alias("top_word_share_ppm"),
         )
     )
-    lines = F.split(_rep_augmented(), "\n")
+
+
+def line_repetition_columns(text: F.Column) -> dict[str, F.Column]:
+    """Line-level repetition signals via native higher-order array functions
+    (narrow map): duplicate / bullet / ellipsis line counts."""
+    lines = F.split(text, "\n")
+    return {
+        "n_lines": F.size(lines).cast("long"),
+        "n_dup_lines": (F.size(lines) - F.size(F.array_distinct(lines))).cast("long"),
+        "n_bullet_lines": F.size(F.filter(lines, lambda x: x.startswith("- "))).cast("long"),
+        "n_ellipsis_lines": F.size(F.filter(lines, lambda x: x.endswith("..."))).cast("long"),
+    }
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style repetition gate: word_repetition over the raw
+    corpus joined with line_repetition_columns over an injected multi-line
+    exemplar (the corpus is single-line; the oracle injects
+    byte-identically)."""
+    docs = _t(spark, sf_dir, "documents")
+    wm = word_repetition(docs)
+    lc = line_repetition_columns(_rep_augmented())
     lm = docs.select(
         "doc_id",
-        F.size(lines).cast("long").alias("n_lines"),
-        (F.size(lines) - F.size(F.array_distinct(lines))).cast("long").alias("n_dup_lines"),
-        F.size(F.filter(lines, lambda x: x.startswith("- "))).cast("long").alias("n_bullet_lines"),
-        F.size(F.filter(lines, lambda x: x.endswith("..."))).cast("long").alias("n_ellipsis_lines"),
+        lc["n_lines"].alias("n_lines"),
+        lc["n_dup_lines"].alias("n_dup_lines"),
+        lc["n_bullet_lines"].alias("n_bullet_lines"),
+        lc["n_ellipsis_lines"].alias("n_ellipsis_lines"),
     )
     return wm.join(lm, "doc_id")
 
@@ -546,57 +577,70 @@ _DECON_PASSAGE = (
 )  # 11 words; vocabulary disjoint from the synthetic soup
 
 
-def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """8-gram shingle decontamination against a held-out eval split
-    (doc_id % 50 == 0): per-doc distinct-shingle count, count of shingles
-    present in the eval set, and the contamination flag. Plan shape at
-    100 TB: per-doc shingling is a narrow higher-order-function map; the
-    eval shingle set is DISTINCT-reduced then broadcast, so the
-    contamination count is a map-side semi-join + partial agg — the fact
-    table is never shuffled by shingle. Exemplar injection: eval docs AND
-    doc_id % 7 == 3 training docs carry a planted passage, byte-identical
-    in the oracle."""
-    docs = _t(spark, sf_dir, "documents")
-    is_eval = F.col("doc_id") % 50 == 0
-    aug = F.concat(
-        F.col("text"),
-        F.when(is_eval | (F.col("doc_id") % 7 == 3), F.lit(_DECON_PASSAGE)).otherwise(F.lit("")),
-    )
-    w = F.split(aug, " ")
-    # guard: Spark sequence(1, n) with n < 1 infers a DESCENDING step —
-    # DuckDB's generate_series returns empty instead; the when() makes the
-    # short-doc behavior identical (no short docs in the corpus, but the
-    # operator must not depend on that)
-    shingles = F.when(
-        F.size(w) >= 8,
+def shingle_array(text: F.Column, n: int = 8) -> F.Column:
+    """Distinct n-gram word shingles of a text column as an array (narrow
+    higher-order map). Guard: Spark sequence(1, k) with k < 1 infers a
+    DESCENDING step — DuckDB's generate_series returns empty instead; the
+    when() makes short-text behavior identical across engines."""
+    w = F.split(text, " ")
+    return F.when(
+        F.size(w) >= n,
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(1), F.size(w) - 7),
-                lambda i: F.array_join(F.slice(w, i, 8), " "),
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.array_join(F.slice(w, i, n), " "),
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    sh = docs.select("doc_id", F.explode(shingles).alias("shingle"))
-    ev = (
-        sh.where(F.col("doc_id") % 50 == 0)
-        .select("shingle")
-        .distinct()
-        .withColumn("hit", F.lit(1))
+
+
+def shingle_decontaminate(
+    docs: DataFrame,
+    eval_pred: F.Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """The production decontamination op: per-doc distinct-shingle count,
+    count of shingles shared with the ``eval_pred`` held-out split, and the
+    contamination flag. Plan shape at 100 TB: shingling is a narrow map; the
+    eval shingle set is DISTINCT-reduced then broadcast, so the
+    contamination count is a map-side semi-join + partial agg — the fact
+    table is never shuffled by shingle."""
+    sh = docs.select(
+        F.col(id_col), eval_pred.alias("is_eval"), F.explode(shingle_array(F.col(text_col), n)).alias("shingle")
     )
-    cnt = (
+    ev = sh.where(F.col("is_eval")).select("shingle").distinct().withColumn("hit", F.lit(1))
+    return (
         sh.join(F.broadcast(ev), "shingle", "left")
-        .groupBy("doc_id")
+        .groupBy(id_col, "is_eval")
         .agg(
             F.count(F.lit(1)).alias("decon_n_shingles"),
             F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("decon_n_contam"),
         )
+        .select(
+            id_col,
+            "decon_n_shingles",
+            "decon_n_contam",
+            "is_eval",
+            (~F.col("is_eval") & (F.col("decon_n_contam") > 0)).alias("contaminated"),
+        )
     )
-    return cnt.select(
-        "doc_id",
-        "decon_n_shingles",
-        "decon_n_contam",
-        (F.col("doc_id") % 50 == 0).alias("is_eval"),
-        ((F.col("doc_id") % 50 != 0) & (F.col("decon_n_contam") > 0)).alias("contaminated"),
+
+
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-gram shingle decontamination gate: shingle_decontaminate over the
+    planted-passage-augmented corpus with eval split doc_id % 50 == 0,
+    byte-identical in the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            (F.col("doc_id") % 50 == 0) | (F.col("doc_id") % 7 == 3), F.lit(_DECON_PASSAGE)
+        ).otherwise(F.lit("")),
+    )
+    return shingle_decontaminate(
+        docs.select("doc_id", aug.alias("text")), F.col("doc_id") % 50 == 0
     )
 
 
