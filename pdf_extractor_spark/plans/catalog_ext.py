@@ -607,15 +607,24 @@ def shingle_decontaminate(
     eval shingle set is DISTINCT-reduced then broadcast, so the
     contamination count is a map-side semi-join + partial agg — the fact
     table is never shuffled by shingle."""
+    # explode_outer, and count(shingle) not count(*): a doc with fewer than
+    # n words has ZERO shingles, and a plain explode would drop it from the
+    # output entirely — silently losing the doc at any downstream 1:1 join
+    # (round-4 review fix; jobs/curate_job.py relies on this op being total)
     sh = docs.select(
-        F.col(id_col), eval_pred.alias("is_eval"), F.explode(shingle_array(F.col(text_col), n)).alias("shingle")
+        F.col(id_col), eval_pred.alias("is_eval"), F.explode_outer(shingle_array(F.col(text_col), n)).alias("shingle")
     )
-    ev = sh.where(F.col("is_eval")).select("shingle").distinct().withColumn("hit", F.lit(1))
+    ev = (
+        sh.where(F.col("is_eval") & F.col("shingle").isNotNull())
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
     return (
         sh.join(F.broadcast(ev), "shingle", "left")
         .groupBy(id_col, "is_eval")
         .agg(
-            F.count(F.lit(1)).alias("decon_n_shingles"),
+            F.count(F.col("shingle")).alias("decon_n_shingles"),
             F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("decon_n_contam"),
         )
         .select(
@@ -660,10 +669,14 @@ _DECON_ORACLE = f"""
       SELECT doc_id, CAST(count(*) AS BIGINT) AS decon_n_shingles,
              CAST(count(*) FILTER (WHERE shingle IN (SELECT shingle FROM ev)) AS BIGINT) AS decon_n_contam
       FROM sh GROUP BY doc_id)
-    SELECT doc_id, decon_n_shingles, decon_n_contam,
-           doc_id % 50 = 0 AS is_eval,
-           (doc_id % 50 <> 0 AND decon_n_contam > 0) AS contaminated
-    FROM cnt
+    -- LEFT JOIN from the doc universe: a doc with < 8 words has zero
+    -- shingles and no cnt row, but must still appear (mirrors the Spark
+    -- side's explode_outer totality)
+    SELECT a.doc_id, COALESCE(decon_n_shingles, 0) AS decon_n_shingles,
+           COALESCE(decon_n_contam, 0) AS decon_n_contam,
+           a.doc_id % 50 = 0 AS is_eval,
+           (a.doc_id % 50 <> 0 AND COALESCE(decon_n_contam, 0) > 0) AS contaminated
+    FROM aug a LEFT JOIN cnt ON a.doc_id = cnt.doc_id
 """
 
 

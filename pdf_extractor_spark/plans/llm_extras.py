@@ -44,15 +44,25 @@ def near_dup_components(
     Each round is one shuffle on the edge key. The loop is a driver-side
     while with a single scalar agg as the convergence test — no data is
     collected.
+
+    Pair endpoints absent from ``docs`` (legal when the pair relation is
+    derived from a superset) participate in propagation as real graph nodes
+    — they can bridge doc components and may supply the component min —
+    but only ``docs`` nodes appear in the output (round-4 review fix: they
+    previously leaked into the output AND their label changes were
+    invisible to the convergence metric, so 'a—x—b' with x outside docs
+    could converge early with a,b in different components).
     """
-    nodes = docs.select(F.col(id_col).alias("node")).distinct()
+    from pyspark.sql import Observation
+
+    doc_nodes = docs.select(F.col(id_col).alias("node")).distinct()
     # bidirect via explode, not union-of-self-projections: ONE scan of the
     # pair relation instead of two, and it sidesteps a Spark 4.1 analyzer
     # crash (UnionBase.rewriteConstraints: "key not found") when the caller
     # passes a localCheckpointed pair relation — both union branches then
     # share the LogicalRDD's attribute ids and the constraint rewrite maps
     # one branch's attributes only
-    edges = (
+    bidirected = (
         pairs.select(
             F.explode(
                 F.array(
@@ -63,6 +73,14 @@ def near_dup_components(
         )
         .select("e.a", "e.b")
         .distinct()
+    )
+    # every graph node propagates: docs nodes PLUS pair endpoints outside
+    # docs (see docstring) — the self-loop set is the node universe, and
+    # self-loops give every node an old_comp so the convergence metric
+    # counts every label change
+    nodes = doc_nodes.union(bidirected.select(F.col("a").alias("node"))).distinct()
+    edges = (
+        bidirected
         # self-loops fold the "keep my own label" left-join into the
         # neighbor-min aggregation: min over {self} ∪ neighbors in ONE
         # groupBy — one fewer shuffle of the label relation per round
@@ -76,8 +94,6 @@ def near_dup_components(
     rounds = 0
     while True:
         rounds += 1
-        from pyspark.sql import Observation
-
         new = (
             edges.join(labels, edges.b == labels.node)
             .groupBy("a")
@@ -112,13 +128,15 @@ def near_dup_components(
         obs = Observation()
         new = new.observe(obs, F.sum((F.col("comp") != F.col("old_comp")).cast("long")).alias("changed"))
         new = new.localCheckpoint(eager=True)  # cut the iterative lineage
-        changed = obs.get["changed"]
+        # sum() over ZERO rows observes NULL, not 0 (empty input previously
+        # looped forever here) — an empty relation is trivially converged
+        changed = obs.get["changed"] or 0
         labels = new.drop("old_comp")
         if changed == 0:
             break
     if stats is not None:
         stats["rounds"] = rounds
-    return labels.select(
+    return labels.join(doc_nodes, "node").select(
         F.col("node").alias(id_col),
         F.col("comp").alias("component"),
         (F.col("comp") == F.col("node")).alias("is_canonical"),

@@ -109,3 +109,25 @@ def test_both_variants_accept_checkpointed_pairs(spark):
         out = {(r.doc_id, r.component) for r in fn(docs, pairs, stats=stats).collect()}
         assert out == {(i, 0) for i in range(40)}
         assert stats["rounds"] >= 1
+
+
+def test_components_empty_input_terminates(spark):
+    """Round-4 review fix: sum() over zero rows observes NULL — empty input
+    previously looped forever in near_dup_components. Both variants must
+    return an empty labeling immediately."""
+    docs = _docs(spark, 0)
+    pairs = _pairs(spark, [])
+    for fn in (near_dup_components, near_dup_components_star):
+        assert fn(docs, pairs).count() == 0
+
+
+def test_components_foreign_endpoint_bridges_but_stays_out(spark):
+    """Round-4 review fix: a pair endpoint absent from docs (pairs derived
+    from a superset) must BRIDGE doc components — and must not leak into
+    the output. docs={1,2}, pairs 1-5-2 with 5 foreign: both docs land in
+    ONE component; only 2 output rows."""
+    docs = _pairs(spark, [(1, 1), (2, 2)]).select(F.col("d1").alias("doc_id")).distinct()
+    pairs = _pairs(spark, [(1, 5), (5, 2)])
+    for fn in (near_dup_components, near_dup_components_star):
+        rows = {(r.doc_id, r.component) for r in fn(docs, pairs).collect()}
+        assert rows == {(1, 1), (2, 1)}, (fn.__name__, rows)

@@ -311,3 +311,23 @@ def test_decontamination_flags_planted_passage(spark):
             n_clean += 1
             assert r.decon_n_contam == 0, r
     assert n_clean > len(rows) // 2
+
+
+def test_decontaminate_is_total_on_short_docs(spark):
+    """Round-4 review fix: a doc with fewer than n words has zero shingles
+    and used to vanish from shingle_decontaminate's output (explode drops
+    empty arrays) — silently losing the doc at curate_job's 1:1 join. The
+    op must be total: one output row per input doc, zero counts."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.plans.catalog_ext import shingle_decontaminate
+
+    docs = spark.createDataFrame(
+        [(0, "only three words"), (1, " ".join(f"w{i}" for i in range(20))), (2, "x")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in shingle_decontaminate(docs, F.col("doc_id") % 50 == 0).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[0].decon_n_shingles == 0 and rows[0].decon_n_contam == 0
+    assert rows[2].decon_n_shingles == 0 and not rows[2].contaminated
+    assert rows[1].decon_n_shingles == 13  # 20 words -> 13 distinct 8-grams
