@@ -15,7 +15,9 @@ sys.path.insert(0, str(REPO))
 def _audited():
     """(name, callable, note) — production implementations, referenced
     directly (the gate registry wraps several of these into suites)."""
-    from pdf_extractor_spark.plans import catalog, catalog_ext, llm_extras, suites
+    from pdf_extractor_spark.plans import catalog, catalog_ext, catalog_ext2, llm_extras, suites
+
+    _pipeline_extract = catalog_ext2.q_pipeline_extract
 
     return [
         (
@@ -65,6 +67,45 @@ def _audited():
             llm_extras.q_sample_stratified,
             "deterministic hash sampling is a pure narrow projection over "
             "the scan — zero exchanges; the keep decision never moves data.",
+        ),
+        (
+            "text_pii_scrub",
+            catalog_ext.q_text_pii_scrub,
+            "five regexp counts + five-stage redaction compile into ONE "
+            "whole-stage-codegen'd Project over the scan — zero exchanges; "
+            "at 100 TB the scrub is embarrassingly parallel.",
+        ),
+        (
+            "pipeline_extract",
+            _pipeline_extract,
+            "flagship gate (scalar projection since r3): extraction stays "
+            "NARROW — pruned parquet scans (base fragments + injected "
+            "malformed-turn branches) union straight into MapInArrow with no "
+            "exchange before the Python tier; the ONLY shuffle is the "
+            "sink-side stable (conv_id, turn_idx) range sort, after the "
+            "per-turn work is done; the scalar projection (to_json spans, "
+            "k:v CSV rule_hits) rides the final Project.",
+        ),
+        (
+            "near_dup_components_star",
+            llm_extras.q_dedup_components_star,
+            "each star round = two hash shuffles on the node key "
+            "(large-star groupBy + small-star groupBy) over the edge "
+            "relation only; labels never fan out through a window. Since r4 "
+            "the convergence cardinalities ride the round's checkpoint job "
+            "as observe() metrics and the one-sided left_anti inclusion "
+            "probe runs only when counts match (broadcast by AQE); edge "
+            "relations are localCheckpointed per round to cut iterative "
+            "lineage. NOTE: plan below is round 1 of the iteration (the "
+            "driver loop materializes per round).",
+        ),
+        (
+            "text_decontaminate",
+            catalog_ext.q_text_decontaminate,
+            "per-doc shingling is a narrow higher-order-function map; the "
+            "eval shingle set is DISTINCT-reduced then BroadcastExchange'd, "
+            "so contamination counting is a broadcast hash join + partial "
+            "agg — the corpus is never shuffled by shingle.",
         ),
     ]
 
