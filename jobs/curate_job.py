@@ -148,15 +148,42 @@ def main() -> None:
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--manifest", default=None)
+    p.add_argument("--lineage", default=None, help="curation ledger dir: makes re-runs idempotent")
+    p.add_argument("--snapshot-id", default="local")
     p.add_argument("--eval-mod", type=int, default=50)
     p.add_argument("--pack-budget", type=int, default=2048)
     args = p.parse_args()
 
+    import time
+
     from pyspark.sql import functions as F
 
+    from pdf_extractor_spark.operators.lineage import run_key
     from pdf_extractor_spark.session import get_spark
 
     spark = get_spark("curate_job")
+    run_id = run_key(args.input, args.snapshot_id)
+
+    # snapshot-atomic resume: curation is corpus-global (dedup and the eval
+    # shingle set need the whole snapshot), so the resume unit is the RUN,
+    # not the file. All writes below are mode=overwrite and the ledger
+    # commit lands LAST — a crash at any point replays cleanly; a committed
+    # run is skipped outright.
+    if args.lineage:
+        try:
+            done = (
+                spark.read.parquet(args.lineage)
+                .where((F.col("run_id") == run_id) & (F.col("status") == "done"))
+                .limit(1)
+                .count()
+            )
+        except Exception:
+            done = 0
+        if done:
+            print(json.dumps({"run_id": run_id, "skipped": True, "reason": "already_committed"}))
+            spark.stop()
+            return
+
     docs = spark.read.parquet(args.input)
     n_in = docs.count()
     curated, manifest = curate(
@@ -171,12 +198,18 @@ def main() -> None:
         for r in manifest.groupBy("stage", "reason").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     summary = {
+        "run_id": run_id,
         "rows_in": n_in,
         "rows_out": n_out,
         "rows_dropped": sum(drops.values()),
         "drops": drops,
         "complete": n_out + sum(drops.values()) == n_in,
     }
+    if args.lineage:
+        spark.createDataFrame(
+            [(run_id, args.snapshot_id, "done", n_in, n_out, float(time.time()))],
+            "run_id string, snapshot_id string, status string, rows_in long, rows_out long, ts double",
+        ).write.mode("append").parquet(args.lineage)
     print(json.dumps(summary))
     spark.stop()
 

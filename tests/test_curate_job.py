@@ -102,3 +102,30 @@ def test_packing_and_redaction_invariants(result):
     ).fetchall()]
     email = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
     assert not any(email.search(t) for t in texts)
+
+
+def test_curate_resume_is_idempotent(tmp_path):
+    """Snapshot-atomic resume: with --lineage, a committed run is skipped
+    outright on replay (run_id match), and the outputs from the first run
+    survive untouched."""
+    out, man, lin = tmp_path / "c", tmp_path / "m", tmp_path / "ledger"
+    cmd = [
+        sys.executable, str(REPO / "jobs" / "curate_job.py"),
+        "--input", f"{SF}/documents.parquet",
+        "--output", str(out), "--manifest", str(man),
+        "--lineage", str(lin), "--pack-budget", "256",
+    ]
+    env = {**os.environ, "PYTHONPATH": str(REPO)}
+    first = subprocess.run(cmd, capture_output=True, text=True, cwd=str(REPO), timeout=600, env=env)
+    assert first.returncode == 0, first.stderr[-1500:]
+    s1 = json.loads(first.stdout.strip().splitlines()[-1])
+    assert s1["complete"] is True and "run_id" in s1
+
+    second = subprocess.run(cmd, capture_output=True, text=True, cwd=str(REPO), timeout=600, env=env)
+    assert second.returncode == 0, second.stderr[-1500:]
+    s2 = json.loads(second.stdout.strip().splitlines()[-1])
+    assert s2 == {"run_id": s1["run_id"], "skipped": True, "reason": "already_committed"}
+
+    con = duckdb.connect()
+    n = con.execute(f"SELECT count(*) FROM read_parquet('{out}/*.parquet')").fetchone()[0]
+    assert n == s1["rows_out"]
