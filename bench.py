@@ -372,6 +372,67 @@ def scaling(lo: int = 4, hi: int = 16) -> None:
     )
 
 
+def skew_bench(n_turns: int = 120_000) -> None:
+    """Wall-clock evidence for the salted-conv_id skew defense (north rule:
+    'repartitions by salted conv_id to defuse long-conversation skew').
+    The pathology: ONE whale conversation written as ONE parquet file — the
+    scan yields a single input split, so extraction serializes on one task
+    at ANY core count. The defense: extract_turns(salt_partitions=CPUS)
+    (operators/order.py salted()). Same input bytes, same output rows;
+    reports raw vs salted wall and the speedup."""
+    import pandas as pd
+
+    from pdf_extractor_spark.operators.extract import extract_turns
+    from pdf_extractor_spark.schema import TRANSCRIPTS
+    from pdf_extractor_spark.session import get_spark
+
+    load_start = _loadavg()
+    spark = get_spark("skew", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    path = _REPO / ".cache" / f"whale_{n_turns}.parquet"
+    if not path.exists():
+        pdf = pd.DataFrame(
+            {
+                "conv_id": ["conv_whale"] * n_turns,
+                "turn_idx": pd.array(range(n_turns), dtype="int32"),
+                "role": ["user"] * n_turns,
+                "text": [f"MEMO REF {i} payment {i % 997}.00" for i in range(n_turns)],
+                "tool": [None] * n_turns,
+                "ts": pd.Timestamp("2024-01-01"),
+            }
+        )
+        spark.createDataFrame(pdf, schema=TRANSCRIPTS).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(path))
+    whale = spark.read.schema(TRANSCRIPTS).parquet(str(path))
+    n_splits = whale.rdd.getNumPartitions()
+
+    results = {}
+    for mode, salt in (("raw_single_split", None), ("salted", int(CPUS))):
+        _force(extract_turns(whale, salt_partitions=salt))  # warmup
+        secs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _force(extract_turns(whale, salt_partitions=salt))
+            secs.append(time.perf_counter() - t0)
+        results[mode] = {"sec": round(min(secs), 3), "all_secs": [round(s, 3) for s in secs]}
+    spark.stop()
+    speedup = round(results["raw_single_split"]["sec"] / results["salted"]["sec"], 2)
+    _emit(
+        {
+            "metric": "skew_salting_speedup",
+            "value": speedup,
+            "unit": "x",
+            "n_turns": n_turns,
+            "input_splits": n_splits,
+            "results": results,
+            "cpus": int(CPUS),
+            "window": _window_health(load_start),
+        }
+    )
+
+
 def components_chain(sizes: tuple[int, ...] = (2_000, 20_000, 200_000)) -> None:
     """Adversarial-graph components bench (r3 VERDICT #5): min-label
     propagation (+pointer jumping) vs Large-Star/Small-Star on LONG-CHAIN
@@ -463,6 +524,8 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
         scaling(lo, lo * 4)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--skew":
+        skew_bench(int(sys.argv[2]) if len(sys.argv) > 2 else 120_000)
     elif len(sys.argv) > 1 and sys.argv[1] == "--components-chain":
         if len(sys.argv) > 2:
             components_chain(tuple(int(x) for x in sys.argv[2:]))
