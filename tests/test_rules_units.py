@@ -331,3 +331,129 @@ def test_decontaminate_is_total_on_short_docs(spark):
     assert rows[0].decon_n_shingles == 0 and rows[0].decon_n_contam == 0
     assert rows[2].decon_n_shingles == 0 and not rows[2].contaminated
     assert rows[1].decon_n_shingles == 13  # 20 words -> 13 distinct 8-grams
+
+
+def test_pii_patterns_agree_across_engines_on_adversarial_inputs(spark):
+    """The PII tier's correctness rests on the claim that its patterns
+    behave identically under Java regex (Spark) and RE2 (DuckDB). The gate
+    only exercises the injected corpus; this pins the claim over 500
+    seeded-random strings plus hand-picked near-matches (unicode digits,
+    word-char boundaries, trailing dots, parenthesized, NBSP, nested @)."""
+    import random
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.plans.catalog_ext import pii_columns
+
+    tricky = [
+        "123-45-67890",          # SSN-shaped but 5 trailing digits: \b blocks
+        "_123-45-6789_",         # underscores are word chars: no boundary
+        "x123-45-6789",          # leading word char: no boundary
+        "123-456-7890 tail",     # phone exact
+        "1234-456-7890",         # 4-digit area: no match
+        "a@b.c",                 # 1-char TLD: below {2,}
+        "a@b.co",                # minimal valid email
+        "a.b+c_d%e@f-g.h.ij",    # full local-part class
+        "user@@double.com",      # @@: local part absorbs first @? engines must agree
+        "trailing.dot@mail.com.",
+        "(415) 555-0100",        # parens format: not the dashed pattern
+        "10.0.0.1",
+        "999.999.999.999",      # out-of-range octets still match the shape
+        "1.2.3.4.5",             # 5 octets: engines must agree on the span
+        "v1.2.3.4a",             # word chars flanking
+        "http://x.y/z_1-2/",
+        "https://",              # no host chars after scheme
+        "١٢٣-45-6789",  # arabic-indic digits: \d is ASCII in both
+        "café@café.com",     # unicode in local/host: class is ASCII
+        "a b@c.de",         # NBSP before local part
+        "email:first.last@sub.domain.org;next",
+    ]
+    rng = random.Random(7)
+    frags = ["123", "45", "6789", "-", ".", "@", "a", "Z", "_", " ", "http://", "x.com",
+             "555", "(", ")", "10", "0", "q", " ", "+", "%"]
+    texts = tricky + ["".join(rng.choice(frags) for _ in range(rng.randint(3, 24)))
+                      for _ in range(500)]
+
+    sdf = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    c = pii_columns(F.col("text"))
+    got = {
+        r.i: (r.e, r.p, r.s, r.ip, r.u, r.red)
+        for r in sdf.select(
+            "i", c["n_emails"].alias("e"), c["n_phones"].alias("p"),
+            c["n_ssns"].alias("s"), c["n_ips"].alias("ip"), c["n_urls"].alias("u"),
+            c["redacted"].alias("red"),
+        ).collect()
+    }
+
+    from pdf_extractor_spark.plans.catalog_ext import (
+        _PII_EMAIL, _PII_IP, _PII_PHONE, _PII_SSN, _PII_URL,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(i, t) for i, t in enumerate(texts)])
+    q = f"""
+      SELECT i,
+        len(regexp_extract_all(text, '{_PII_EMAIL}')),
+        len(regexp_extract_all(text, '{_PII_PHONE}')),
+        len(regexp_extract_all(text, '{_PII_SSN}')),
+        len(regexp_extract_all(text, '{_PII_IP}')),
+        len(regexp_extract_all(text, '{_PII_URL}')),
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          text, '{_PII_EMAIL}', '<EMAIL>', 'g'), '{_PII_URL}', '<URL>', 'g'),
+          '{_PII_SSN}', '<SSN>', 'g'), '{_PII_PHONE}', '<PHONE>', 'g'),
+          '{_PII_IP}', '<IP>', 'g')
+      FROM t
+    """
+    for i, e, p, s, ip, u, red in con.execute(q).fetchall():
+        assert got[i] == (e, p, s, ip, u, red), (i, texts[i], got[i], (e, p, s, ip, u, red))
+
+
+def test_shingle_and_line_exprs_agree_across_engines_on_fuzz(spark):
+    """Same cross-engine discipline for the repetition/decontamination
+    expression tier: distinct 8-gram shingles (split/slice/array_distinct vs
+    string_split/list slicing/list_distinct) and the line signals must agree
+    on fuzzed texts with multi-spaces (empty-string tokens!), newlines,
+    bullets, and ellipses."""
+    import random
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.plans.catalog_ext import line_repetition_columns, shingle_array
+
+    rng = random.Random(13)
+    frags = ["alpha", "beta", "g", "", " ", "  ", "\n", "- bullet", "...", "x y z w v u t s",
+             "dup line\ndup line", ".", "-"]
+    texts = ["".join(rng.choice(frags) for _ in range(rng.randint(2, 20))) for _ in range(400)]
+    texts += ["", " ", "a b c d e f g h", "a b c d e f g h i", "\n\n", "- a\n- a\n- a..."]
+
+    sdf = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    lc = line_repetition_columns(F.col("text"))
+    got = {
+        r.i: (sorted(r.sh), r.nl, r.nd, r.nb, r.ne)
+        for r in sdf.select(
+            "i", shingle_array(F.col("text")).alias("sh"),
+            lc["n_lines"].alias("nl"), lc["n_dup_lines"].alias("nd"),
+            lc["n_bullet_lines"].alias("nb"), lc["n_ellipsis_lines"].alias("ne"),
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(i, t) for i, t in enumerate(texts)])
+    rows = con.execute("""
+      SELECT i,
+        list_distinct(list_transform(generate_series(1, len(string_split(text,' '))-7),
+                      j -> array_to_string(string_split(text,' ')[j:j+7], ' '))),
+        len(string_split(text, chr(10))),
+        len(string_split(text, chr(10))) - len(list_distinct(string_split(text, chr(10)))),
+        len(list_filter(string_split(text, chr(10)), x -> x LIKE '- %')),
+        len(list_filter(string_split(text, chr(10)), x -> x LIKE '%...'))
+      FROM t
+    """).fetchall()
+    for i, sh, nl, nd, nb, ne in rows:
+        assert got[i] == (sorted(sh), nl, nd, nb, ne), (i, repr(texts[i]), got[i], (sorted(sh), nl, nd, nb, ne))
