@@ -124,23 +124,29 @@ def _force(df) -> int:
     return 0
 
 
-def _bench_transcripts(spark, sf_dir: str, n_convs: int | None = None):
-    """Deterministic synthetic transcript corpus sized to the sf (seed=42),
-    generated distributed once and cached as parquet so every run (and both
-    scaling parallelism levels) reads identical bytes."""
+def _bench_corpus_path(sf_dir: str, n_convs: int | None = None) -> tuple[Path, int]:
+    """Cache path + conv count for the deterministic bench corpus. The key
+    includes a hash of the generator module source: adding or changing a
+    payload family regenerates the corpus instead of silently benchmarking
+    stale bytes."""
     import hashlib
     import inspect
 
     from pdf_extractor_spark.sources import synth
-    from pdf_extractor_spark.sources.synth import generate_transcripts_distributed
 
     if n_convs is None:
         n_convs = max(250, int(250_000 * _sf_of(sf_dir)))  # sf0.1 -> 25k convs (~400k turns)
-    # cache key includes a hash of the generator module source: adding or
-    # changing a payload family regenerates the corpus instead of silently
-    # benchmarking stale bytes
     gen_h = hashlib.md5(inspect.getsource(synth).encode()).hexdigest()[:8]
-    path = _REPO / ".cache" / f"transcripts_c{n_convs}_s42_{gen_h}.parquet"
+    return _REPO / ".cache" / f"transcripts_c{n_convs}_s42_{gen_h}.parquet", n_convs
+
+
+def _bench_transcripts(spark, sf_dir: str, n_convs: int | None = None):
+    """Deterministic synthetic transcript corpus sized to the sf (seed=42),
+    generated distributed once and cached as parquet so every run (and both
+    scaling parallelism levels) reads identical bytes."""
+    from pdf_extractor_spark.sources.synth import generate_transcripts_distributed
+
+    path, n_convs = _bench_corpus_path(sf_dir, n_convs)
     if not path.exists():
         # prune stale corpora for this size ONLY when about to regenerate,
         # and ONLY siblings untouched for 6h+: a concurrent bench running
@@ -372,6 +378,71 @@ def scaling(lo: int = 4, hi: int = 16) -> None:
     )
 
 
+def streaming_bench(max_files_per_trigger: int = 64) -> None:
+    """Streaming-tier throughput evidence: drain the SAME cached bench
+    corpus through the Structured Streaming front-end (readStream ->
+    extract_turns -> parquet sink with checkpoint WAL, availableNow) and
+    compare wall against the batch path over identical bytes. The corpus is
+    256 small files, so maxFilesPerTrigger=64 yields ~4 micro-batches —
+    exercising trigger scheduling, the sink commit protocol, and checkpoint
+    writes, the costs a continuous-ingest deployment actually pays."""
+    import shutil
+    import tempfile
+
+    from pdf_extractor_spark.operators.extract import extract_turns
+    from pdf_extractor_spark.session import get_spark
+    from pdf_extractor_spark.streaming.extract_stream import read_transcript_stream
+
+    load_start = _loadavg()
+    spark = get_spark("streambench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    transcripts = _bench_transcripts(spark, SF_DIR)  # ensure cached
+    n_turns = transcripts.count()
+    path, _ = _bench_corpus_path(SF_DIR)
+
+    # batch reference over the same bytes (warmup + timed)
+    _force(extract_turns(spark.read.parquet(str(path))))
+    t0 = time.perf_counter()
+    _force(extract_turns(spark.read.parquet(str(path))))
+    batch_sec = time.perf_counter() - t0
+
+    tmp = tempfile.mkdtemp(prefix="streambench_")
+    try:
+        stream = read_transcript_stream(spark, str(path), max_files_per_trigger)
+        t0 = time.perf_counter()
+        q = (
+            extract_turns(stream)
+            .writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        stream_sec = time.perf_counter() - t0
+        n_batches = len([p for p in q.recentProgress if p.get("numInputRows", 0) > 0])
+        n_out = spark.read.parquet(f"{tmp}/out").count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+    _emit(
+        {
+            "metric": "streaming_vs_batch_extraction",
+            "value": round(stream_sec / batch_sec, 2),
+            "unit": "x_overhead",
+            "n_turns": n_turns,
+            "rows_out": n_out,
+            "batch_sec": round(batch_sec, 3),
+            "stream_sec": round(stream_sec, 3),
+            "micro_batches": n_batches,
+            "stream_turns_per_sec": round(n_turns / stream_sec, 1),
+            "cpus": int(CPUS),
+            "window": _window_health(load_start),
+        }
+    )
+
+
 def skew_bench(n_turns: int = 120_000) -> None:
     """Wall-clock evidence for the salted-conv_id skew defense (north rule:
     'repartitions by salted conv_id to defuse long-conversation skew').
@@ -524,6 +595,8 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
         scaling(lo, lo * 4)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--streaming":
+        streaming_bench(int(sys.argv[2]) if len(sys.argv) > 2 else 64)
     elif len(sys.argv) > 1 and sys.argv[1] == "--skew":
         skew_bench(int(sys.argv[2]) if len(sys.argv) > 2 else 120_000)
     elif len(sys.argv) > 1 and sys.argv[1] == "--components-chain":
