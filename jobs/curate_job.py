@@ -67,6 +67,18 @@ def curate(
 
     manifests = []
 
+    # 0. account for NULL text up front (round-5 ADVICE fix): the quality
+    # stage's word-metric join is an inner join against an exploded
+    # split(text,' ') — a NULL text yields NO exploded rows, so the doc
+    # would vanish with no manifest entry and break kept+dropped==input.
+    # Route NULL-text docs into the manifest with an explicit reason.
+    manifests.append(
+        docs.where(F.col("text").isNull()).select(
+            "doc_id", F.lit("quality").alias("stage"), F.lit("null_text").alias("reason")
+        )
+    )
+    docs = docs.where(F.col("text").isNotNull())
+
     # 1. PII scrub: redact in place (no drops)
     pii = pii_columns(F.col("text"))
     docs = docs.withColumn("text", pii["redacted"])
@@ -184,18 +196,30 @@ def main() -> None:
             spark.stop()
             return
 
+    from pyspark.sql import Observation
+
     docs = spark.read.parquet(args.input)
     n_in = docs.count()
     curated, manifest = curate(
         spark, docs, eval_mod=args.eval_mod, pack_budget=args.pack_budget
     )
+    # n_out rides the write via observe() — no re-read of the output
+    obs_out = Observation()
+    curated = curated.observe(obs_out, F.count(F.lit(1)).alias("n"))
     curated.write.mode("overwrite").parquet(args.output)
+    n_out = obs_out.get["n"]
+    # summary must describe the manifest that was WRITTEN, not a second
+    # execution of the (MinHash/components/decontam) lineage that could in
+    # principle diverge: read the parquet back when it exists, otherwise
+    # pin one execution with localCheckpoint before aggregating (r5 ADVICE)
     if args.manifest:
         manifest.write.mode("overwrite").parquet(args.manifest)
-    n_out = spark.read.parquet(args.output).count()
+        manifest_final = spark.read.parquet(args.manifest)
+    else:
+        manifest_final = manifest.localCheckpoint(eager=True)
     drops = {
         f"{r['stage']}:{r['reason']}": r["n"]
-        for r in manifest.groupBy("stage", "reason").agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in manifest_final.groupBy("stage", "reason").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     summary = {
         "run_id": run_id,

@@ -407,7 +407,17 @@ def pii_columns(text: F.Column) -> dict[str, F.Column]:
     ANY text column (stateless map, whole-stage-codegen'd, no shuffle).
     ``redacted`` is the full text with each PII class replaced by its
     placeholder token. The gate below applies these to the
-    exemplar-augmented input; jobs/curate_job.py applies them to raw text."""
+    exemplar-augmented input; jobs/curate_job.py applies them to raw text.
+
+    Semantics (intentional, mirrored by the oracle — r5 ADVICE note):
+    the ``n_*`` columns are RAW-TEXT occurrence counts, independent of
+    redaction order — an email or IP embedded inside a URL path is counted
+    in its own class even though the <URL> replacement consumes those bytes
+    first. And ``_PII_URL`` deliberately stops at the path (no ``?&%:``):
+    query strings survive redaction by design, because the email/SSN/phone
+    passes still scrub any PII that appears there; widening the URL class
+    to eat query strings would instead HIDE those matches from the count
+    columns. Counts are a detection census, not a redaction audit."""
     red = F.regexp_replace(text, _PII_EMAIL, "<EMAIL>")
     red = F.regexp_replace(red, _PII_URL, "<URL>")
     red = F.regexp_replace(red, _PII_SSN, "<SSN>")

@@ -136,10 +136,26 @@ def near_dup_components(
             break
     if stats is not None:
         stats["rounds"] = rounds
-    return labels.join(doc_nodes, "node").select(
+    return _restrict_with_canonical(labels.join(doc_nodes, "node"), id_col)
+
+
+def _restrict_with_canonical(labels: DataFrame, id_col: str) -> DataFrame:
+    """Output clause shared by both component variants: restrict to docs
+    nodes and derive is_canonical = (node == min node over component AMONG
+    DOCS MEMBERS). When pairs come from a superset of docs, the propagated
+    component label can be a foreign node id — comparing node against the
+    label directly would then leave the whole component with no canonical
+    row, and a keep-canonical consumer (curate stage 4) would drop it
+    (round-5 review fix). The component label itself stays the global
+    (possibly foreign) min — it is an arbitrary group id; canonical-ness is
+    a docs-relative property. groupBy+join rather than a window: the
+    per-component min has map-side partial agg and no single-partition
+    funnel for a giant boilerplate component."""
+    cmin = labels.groupBy("comp").agg(F.min("node").alias("canon"))
+    return labels.join(cmin, "comp").select(
         F.col("node").alias(id_col),
         F.col("comp").alias("component"),
-        (F.col("comp") == F.col("node")).alias("is_canonical"),
+        (F.col("node") == F.col("canon")).alias("is_canonical"),
     )
 
 
@@ -257,11 +273,7 @@ def near_dup_components_star(
     labels = nodes.join(parents, nodes.node == parents.u, "left").select(
         "node", F.coalesce("root", F.col("node")).alias("comp")
     )
-    return labels.select(
-        F.col("node").alias(id_col),
-        F.col("comp").alias("component"),
-        (F.col("comp") == F.col("node")).alias("is_canonical"),
-    )
+    return _restrict_with_canonical(labels, id_col)
 
 
 def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -474,9 +486,13 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF keyword extraction: explode tokens, document frequency per
     token, idf = ln((N+1)/(df+1)) + 1 (smoothed), top-3 tokens per document
     with a total-order tiebreak. Scale: two shuffles (token df agg + per-doc
-    window); df table is small and broadcast back."""
+    window); df table is small and broadcast back. N is a 1-row scalar agg
+    cross-joined in (broadcast nested-loop over one row) — NO driver-side
+    count() action, so the corpus is never scanned synchronously on the
+    driver (r4 VERDICT fix; mirrors the oracle's `n AS (SELECT COUNT(*))`
+    CTE)."""
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
-    n_docs = docs.count()  # tiny bounded subset; at scale: a scalar agg join
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     ).where(F.length("tok") > 0)
@@ -484,9 +500,11 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = toks.select("doc_id", "tok").distinct().groupBy("tok").agg(
         F.count("*").alias("df")
     )
-    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
-    scored = tf.join(F.broadcast(df_), "tok").select(
-        "doc_id", "tok", _r6(F.col("tf") * idf).alias("tfidf")
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "tok", _r6(F.col("tf") * idf).alias("tfidf"))
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
     return (

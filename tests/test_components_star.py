@@ -131,3 +131,17 @@ def test_components_foreign_endpoint_bridges_but_stays_out(spark):
     for fn in (near_dup_components, near_dup_components_star):
         rows = {(r.doc_id, r.component) for r in fn(docs, pairs).collect()}
         assert rows == {(1, 1), (2, 1)}, (fn.__name__, rows)
+
+
+def test_components_foreign_min_still_yields_a_canonical_doc(spark):
+    """Round-5 review fix: when a FOREIGN endpoint is the component minimum
+    (docs={2,3}, pairs 0-2, 0-3 with 0 outside docs), node==component holds
+    for NO docs member — a keep-canonical consumer (curate stage 4) would
+    silently drop the whole component. is_canonical must be docs-relative:
+    exactly one canonical per component, the min AMONG DOCS MEMBERS. The
+    component label itself stays the global min (an arbitrary group id)."""
+    docs = _pairs(spark, [(2, 2), (3, 3)]).select(F.col("d1").alias("doc_id")).distinct()
+    pairs = _pairs(spark, [(0, 2), (0, 3)])
+    for fn in (near_dup_components, near_dup_components_star):
+        rows = {(r.doc_id, r.component, r.is_canonical) for r in fn(docs, pairs).collect()}
+        assert rows == {(2, 0, True), (3, 0, False)}, (fn.__name__, rows)

@@ -104,6 +104,28 @@ def test_packing_and_redaction_invariants(result):
     assert not any(email.search(t) for t in texts)
 
 
+def test_null_text_docs_are_manifested_not_lost(spark):
+    """Round-5 ADVICE fix: a NULL-text doc used to vanish at the quality
+    stage (the word-metric inner join sees no exploded rows for NULL text)
+    with no manifest entry, breaking kept+dropped==input. It must now land
+    in the manifest as quality:null_text and the ladder must still
+    reconcile exactly."""
+    import sys
+
+    sys.path.insert(0, str(REPO / "jobs"))
+    from curate_job import curate
+
+    words = lambda tag: " ".join(f"{tag}{i}" for i in range(12))  # noqa: E731
+    docs = spark.createDataFrame(
+        [(1, None, "en"), (2, words("alpha"), "en"), (3, words("beta"), "de")],
+        "doc_id long, text string, lang string",
+    )
+    curated, manifest = curate(spark, docs, eval_mod=50, pack_budget=64)
+    dropped = {(r.doc_id, r.stage, r.reason) for r in manifest.collect()}
+    assert (1, "quality", "null_text") in dropped
+    assert curated.count() + len(dropped) == 3
+
+
 def test_curate_resume_is_idempotent(tmp_path):
     """Snapshot-atomic resume: with --lineage, a committed run is skipped
     outright on replay (run_id match), and the outputs from the first run
