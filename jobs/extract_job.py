@@ -32,7 +32,22 @@ def main() -> None:
     p.add_argument("--snapshot-id", default="local")
     p.add_argument("--run-id", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument(
+        "--salt-partitions",
+        default="auto",
+        help="skew defense: 'auto' (salt only when the input is under-split "
+        "— the whale-file pathology), an integer to force that many salted "
+        "partitions, or 'off' (pre-r5 behavior). Values are unchanged "
+        "either way; only task balance and file layout differ.",
+    )
     args = p.parse_args()
+    salt: int | None | str
+    if args.salt_partitions == "auto":
+        salt = "auto"
+    elif args.salt_partitions in ("off", "none", "0"):
+        salt = None
+    else:
+        salt = int(args.salt_partitions)
 
     # imports AFTER spark-submit has placed the --py-files zip on sys.path
     from pdf_extractor_spark.operators.lineage import run_incremental, run_key
@@ -47,6 +62,7 @@ def main() -> None:
         lineage_dir=args.lineage,
         run_id=run_id,
         snapshot_id=args.snapshot_id,
+        salt_partitions=salt,
     )
     print(json.dumps({"run_id": run_id, **summary}))
     spark.stop()

@@ -109,20 +109,57 @@ def _extract_batches_arrow(batches):
         )
 
 
-def extract_turns(transcripts: DataFrame, salt_partitions: int | None = None) -> DataFrame:
+def extract_turns(
+    transcripts: DataFrame,
+    salt_partitions: int | None = None,
+    native_tier: bool = False,
+    native_ledger: bool = False,
+) -> DataFrame:
     """Run the extraction rules over a transcript DataFrame.
+
+    ``native_tier=True`` enables the two-tier plan (round 5): turns whose
+    family + charset are inside the proven native domain
+    (operators/native_rules.py — freeform, noisy_desc, NULL; plus
+    ledger_rows when ``native_ledger``) are extracted entirely JVM-side as
+    whole-text regexp Column expressions; everything else takes the
+    mapInArrow Python tier. Byte parity between the tiers is structural
+    (the native expressions re-express rules/oracle.extract_turn on a
+    guarded domain) and pinned by the goldens + tests/test_native_tier.py.
+
+    The tier is OFF by default — a MEASURED NEGATIVE RESULT, not a tuning
+    default: whole-text Java regex runs ~5x slower per row-core than the
+    same rules as compiled C regex in the Arrow batch tier, so the split
+    loses at EVERY content-family share (2.39s vs 2.03s at 14% share,
+    9.06s vs 3.49s at 68% — ``bench.py --tier-split``), and the router
+    adds a full marker-absence scan on top. The implementation stays
+    because it is the driver-oracled proof that the content families are
+    SQL-expressible (the correctness gate runs with the tier ON) and the
+    measured reference point for future plan decisions. ``native_ledger``
+    further routes ledger_rows natively; it is even slower (interpreted
+    per-line HOF arrays, see native_rules docstring) and exists as the
+    parity-tested reference plan, not a production route.
 
     ``salt_partitions``: when set, repartition on (conv_id, salt) first —
     the salt is pmod(hash(turn_idx), 16), breaking long-conversation skew
     while keeping *some* conv locality (SURVEY §4). Leave None for inputs
     already well-partitioned (Parquet/Iceberg splits are row-group sized).
     """
+    from pyspark.sql import functions as F
+
     cols = transcripts.select("conv_id", "turn_idx", "text")
     if salt_partitions:
         from .order import salted
 
         cols = salted(cols, salt_partitions)
-    return cols.mapInArrow(_extract_batches_arrow, schema=EXTRACTED_TURNS)
+    if not native_tier:
+        return cols.mapInArrow(_extract_batches_arrow, schema=EXTRACTED_TURNS)
+
+    from .native_rules import native_eligible, native_extract
+
+    ok = native_eligible(F.col("text"), include_ledger=native_ledger)
+    native = native_extract(cols.where(ok), include_ledger=native_ledger)
+    rest = cols.where(~ok).mapInArrow(_extract_batches_arrow, schema=EXTRACTED_TURNS)
+    return native.unionByName(rest)
 
 
 def extract_turns_pandas(

@@ -101,6 +101,20 @@ def pending_files(spark: SparkSession, input_dir: str, lineage_dir: str) -> Data
     )
 
 
+def _auto_salt(spark: SparkSession, scan) -> int | None:
+    """Cheap skew heuristic (r4 VERDICT #5: defense on by default): when the
+    pending scan yields fewer input splits than the session's parallelism —
+    the whale-file pathology, where one huge conversation written as one
+    parquet file serializes extraction on a single task at ANY core count
+    (bench.py --skew) — salt-repartition to full parallelism. The split
+    count is planner metadata (file listing + bin-packing already done for
+    the scan), NOT a data scan; well-split inputs pay nothing and keep
+    their scan-aligned, shuffle-free plan."""
+    splits = scan.rdd.getNumPartitions()
+    cores = spark.sparkContext.defaultParallelism
+    return cores if splits < cores else None
+
+
 def run_incremental(
     spark: SparkSession,
     input_dir: str,
@@ -108,10 +122,17 @@ def run_incremental(
     lineage_dir: str,
     run_id: str,
     snapshot_id: str = "local",
+    salt_partitions: int | None | str = "auto",
 ) -> dict:
     """Process only pending input files; write extracted output (dynamic
     partition overwrite by src_key) then commit lineage rows. Returns summary
-    counts. Safe to call repeatedly / after a crash at any point."""
+    counts. Safe to call repeatedly / after a crash at any point.
+
+    ``salt_partitions``: "auto" (default) applies the salted-conv_id skew
+    defense only when the input is under-split (_auto_salt above); an int
+    forces that many salted partitions; None disables (the pre-r5
+    behavior). Extraction is per-turn, so salting changes file layout and
+    task balance, never values — pinned by tests/test_lineage.py."""
     # the pending set stays a DataFrame end-to-end: at ~10^6 input files a
     # collect()+isin would be a driver-side list and a million-element In
     # expression in the plan; a broadcast left-semi join is the scale shape.
@@ -125,15 +146,18 @@ def run_incremental(
     if n_files == 0:
         return {"files": 0, "rows": 0}
 
-    transcripts = (
-        spark.read.schema(TRANSCRIPTS)
-        .parquet(input_dir)
-        .withColumn("src_key", src_key_col())
-        .join(F.broadcast(pend_df), "src_key", "left_semi")
+    scan = spark.read.schema(TRANSCRIPTS).parquet(input_dir)
+    transcripts = scan.withColumn("src_key", src_key_col()).join(
+        F.broadcast(pend_df), "src_key", "left_semi"
     )
-    extracted = transcripts.select(
-        "src_key", "conv_id", "turn_idx", "text"
-    ).mapInPandas(_extract_batches_with_src, schema=EXTRACTED_WITH_SRC)
+    if salt_partitions == "auto":
+        salt_partitions = _auto_salt(spark, scan)
+    cols = transcripts.select("src_key", "conv_id", "turn_idx", "text")
+    if salt_partitions:
+        from .order import salted
+
+        cols = salted(cols, int(salt_partitions))
+    extracted = cols.mapInPandas(_extract_batches_with_src, schema=EXTRACTED_WITH_SRC)
 
     # dynamic overwrite scoped to THIS write only — leaking it session-wide
     # would silently change later overwrite semantics for other writers

@@ -740,6 +740,67 @@ _INJECTED_TURNS = (
         "r10_statement_source_original_filename:1,wfb_csv_row:2",
         0, False, "missing_or_unparseable_date;empty_description",
     ),
+    # -- VALID amazon_order (r4 VERDICT ask #7, T4 block->record group):
+    #    R16 order date + T5 capture-between + zero-width item split,
+    #    R17 price*qty negation, gift-card credit row ----------------------
+    _Injected(
+        43, 10,
+        "Order Placed: January 5, 2024\nItems Ordered 2 of: USB cable  "
+        "braided\n$7.25\n1 of: Mouse pad\n$12.00\n"
+        "Shipping Address: somewhere\nGift Card Amount:-$5.00",
+        "amazon_order",
+        "2024-01-05|-14.5|USB cable braided|charge\n"
+        "2024-01-05|-12.0|Mouse pad|charge\n"
+        "2024-01-05|5.0|Gift Card Amount|credit",
+        '[{"start":44,"end":74,"kind":"amazon_order"},'
+        '{"start":75,"end":97,"kind":"amazon_order"},'
+        '{"start":126,"end":149,"kind":"amazon_order"}]',
+        "family_amazon_order:1,r16_gift_card:1,r16_item:2,"
+        "r16_order_placed:1,r17_price_times_qty:2",
+        3, True, None,
+    ),
+    # -- amazon_order P5 exemplar: an item block with NO price line — the
+    #    amount stays None, quarantining the turn (note r17 still counts:
+    #    the hit fires per item block, not per successful multiply) --------
+    _Injected(
+        47, 11,
+        "Order Placed: January 6, 2024\nItems Ordered 1 of: Mystery item\n"
+        "price missing here\nShipping Address: x",
+        "amazon_order", "", "[]",
+        "family_amazon_order:1,p5_quarantined:1,r16_item:1,"
+        "r16_order_placed:1,r17_price_times_qty:1",
+        0, False, "missing_or_unparseable_amount",
+    ),
+    # -- VALID bofa_bank (r4 VERDICT ask #7, T2 section-machine group):
+    #    two section headers forward-filled, deposit kept positive,
+    #    withdrawal negated (bofa_bank_parser.py:240), R13 desc collapse ---
+    _Injected(
+        53, 12,
+        "Deposits and other additions\n01/05/24 payroll  acme corp 1,200.50\n"
+        "Withdrawals and other subtractions\n01/06/24 grocery store 45.25",
+        "bofa_bank",
+        "2024-01-05|1200.5|payroll acme corp|deposit\n"
+        "2024-01-06|-45.25|grocery store|withdrawal",
+        '[{"start":29,"end":65,"kind":"bofa_bank"},'
+        '{"start":101,"end":129,"kind":"bofa_bank"}]',
+        "family_bofa_bank:1,r3_deposits_row:1,r3_withdrawals_row:1,"
+        "t2_section_header:2",
+        2, True, None,
+    ),
+    # -- bofa_bank P5 exemplar, MIXED turn: the bad-date deposit row
+    #    quarantines (turn invalid) while the later withdrawal row still
+    #    renders — partial extraction under quarantine, n_records=1 --------
+    _Injected(
+        59, 13,
+        "Deposits and other additions\n13/45/24 broken date row 10.00\n"
+        "Withdrawals and other subtractions\n01/07/24 ok row 5.00",
+        "bofa_bank",
+        "2024-01-07|-5.0|ok row|withdrawal",
+        '[{"start":95,"end":115,"kind":"bofa_bank"}]',
+        "family_bofa_bank:1,p5_quarantined:1,r3_deposits_row:1,"
+        "r3_withdrawals_row:1,t2_section_header:2",
+        1, False, "missing_or_unparseable_date",
+    ),
 )
 
 # legacy 4-tuple view consumed by the quarantine-oracle generator docs; the
@@ -786,7 +847,13 @@ def q_pipeline_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.extract import extract_turns
     from ..operators.order import stable_turn_order
 
-    ext = stable_turn_order(extract_turns(_gate_transcripts(spark, sf_dir)))
+    # native_tier=True: the correctness gate deliberately runs the round-5
+    # two-tier plan so the JVM whole-text expressions stay value-hashed
+    # against the DuckDB oracle every round (production default is the
+    # faster python-only plan — measured in bench.py --tier-split)
+    ext = stable_turn_order(
+        extract_turns(_gate_transcripts(spark, sf_dir), native_tier=True)
+    )
     hits_csv = F.concat_ws(
         ",",
         F.array_sort(

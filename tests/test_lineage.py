@@ -115,3 +115,50 @@ def test_new_files_processed_incrementally(spark, dirs):
     out = spark.read.parquet(dirs["output"])
     assert out.count() == dirs["n_rows"] + len(extra)
     assert pending_files(spark, dirs["input"], dirs["lineage"]).count() == 0
+
+
+def test_auto_salt_defuses_whale_file(spark, tmp_path):
+    """r4 VERDICT #5: the production entrypoint applies the salted skew
+    defense WITHOUT hand-tuning. A whale conversation written as ONE parquet
+    file yields one input split; salt_partitions='auto' must (a) detect the
+    under-split scan, (b) spread extraction across tasks — observable as
+    multiple part-files under the src_key partition dir — and (c) leave the
+    extracted VALUES identical to the undefended run."""
+    import pandas as pd
+
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["whale"] * n,
+            "turn_idx": pd.array(range(n), dtype="int32"),
+            "role": ["user"] * n,
+            "text": [f"MEMO REF {i} payment {i % 97}.00" for i in range(n)],
+            "tool": [None] * n,
+            "ts": pd.Timestamp("2024-01-01"),
+        }
+    )
+    inp = str(tmp_path / "input")
+    spark.createDataFrame(pdf, schema=TRANSCRIPTS).coalesce(1).write.parquet(inp)
+
+    outs = {}
+    for mode, salt in (("off", None), ("auto", "auto")):
+        out = str(tmp_path / f"out_{mode}")
+        summary = run_incremental(
+            spark, inp, out, str(tmp_path / f"lin_{mode}"), run_id="r1",
+            salt_partitions=salt,
+        )
+        assert summary["rows"] == n
+        part_dirs = [p for p in __import__("pathlib").Path(out).iterdir() if p.is_dir()]
+        assert len(part_dirs) == 1  # one src_key partition
+        n_files = len(list(part_dirs[0].glob("*.parquet")))
+        outs[mode] = {
+            "files": n_files,
+            "rows": sorted(
+                tuple(r) for r in spark.read.parquet(out)
+                .select("conv_id", "turn_idx", "extracted_text", "valid")
+                .collect()
+            ),
+        }
+    assert outs["off"]["files"] == 1  # the pathology: one task wrote everything
+    assert outs["auto"]["files"] > 1  # the defense: extraction spread over tasks
+    assert outs["off"]["rows"] == outs["auto"]["rows"]  # values untouched
