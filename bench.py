@@ -581,6 +581,141 @@ def tier_split_bench(replicas: int = 20) -> None:
     )
 
 
+def _curate_corpus(spark, n_docs: int):
+    """Deterministic documents-shaped corpus with CONTROLLED duplication and
+    quality classes, sized for the curation ladder (the sf0.1 documents
+    table is only 5k rows). doc_id % 10 selects the class per 10-doc group
+    (g = doc_id // 10): 0/1 = two exact copies of the group base text
+    (exact-dedup prey), 2 = base + 3 extra tokens (near-dup prey, shingle
+    Jaccard ~0.95), 4 = one token repeated (dominant_token quality drop),
+    5 = three words (too_short drop), 6 = unique + an email (PII redact),
+    7 = first 12 base words + unique tail (shares 8-gram shingles with the
+    group base WITHOUT being a near-dup — decontamination prey when the
+    base is an eval doc, i.e. every 5th group), else unique. Generated once
+    (numpy, seed 42) and cached as parquet so every run reads identical
+    bytes."""
+    import numpy as np
+    import pandas as pd
+
+    path = _REPO / ".cache" / f"curate_docs_{n_docs}_v2.parquet"
+    if not path.exists():
+        rng = np.random.default_rng(42)
+        vocab = np.array([f"w{i:04d}" for i in range(3000)])
+        n_groups = n_docs // 10
+        base_words = [
+            " ".join(vocab[rng.integers(0, 3000, size=60)]) for _ in range(n_groups)
+        ]
+        texts, langs = [], []
+        for doc_id in range(n_docs):
+            g, r = divmod(doc_id, 10)
+            if r in (0, 1):
+                t = base_words[g]
+            elif r == 2:
+                t = base_words[g] + f" x{g} y{g} z{g}"
+            elif r == 4:
+                t = " ".join(["spam"] * 40)
+            elif r == 5:
+                t = "tiny doc here"
+            elif r == 7:
+                head = " ".join(base_words[g].split()[:12])
+                t = head + " " + " ".join(vocab[rng.integers(0, 3000, size=40)])
+            else:
+                t = " ".join(vocab[rng.integers(0, 3000, size=50)])
+                if r == 6:
+                    t += f" contact user{doc_id}@example.com now"
+            texts.append(t)
+            langs.append("en" if doc_id % 3 else "de")
+        pdf = pd.DataFrame(
+            {
+                "doc_id": pd.array(range(n_docs), dtype="int64"),
+                "text": texts,
+                "lang": langs,
+                "source": [f"src{i % 7}" for i in range(n_docs)],
+                "n_chars": pd.array([len(t) for t in texts], dtype="int64"),
+            }
+        )
+        spark.createDataFrame(pdf).repartition(64).write.mode("overwrite").parquet(str(path))
+    return spark.read.parquet(str(path))
+
+
+def curate_bench(n_docs: int = 200_000) -> None:
+    """End-to-end evidence for the composed curation ladder
+    (jobs/curate_job.py — r4 VERDICT ask #2): per-stage wall times via the
+    stage_probe hook (localCheckpoint barriers isolate each stage's cost),
+    plus the UNSTAGED single-lazy-plan wall (the number production pays),
+    plus the per-reason drop census and the kept+dropped==input
+    reconciliation. The staged and unstaged runs execute the same ladder;
+    barriers exist only to attribute cost. near-dup components runs its
+    iterative driver actions during plan CONSTRUCTION, so that time is
+    reported separately as construct_sec."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from jobs.curate_job import curate
+    from pdf_extractor_spark.session import get_spark
+
+    load_start = _loadavg()
+    spark = get_spark("curatebench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = _curate_corpus(spark, n_docs)
+    n_in = docs.count()
+
+    # staged run: per-stage walls
+    walls: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    def probe(name: str, df):
+        t0 = time.perf_counter()
+        out = df.localCheckpoint(eager=True)
+        walls[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = out.count()
+        return out
+
+    t0 = time.perf_counter()
+    curated, manifest = curate(spark, docs, stage_probe=probe)
+    construct_sec = round(time.perf_counter() - t0 - sum(walls.values()), 3)
+    census = {
+        f"{r['stage']}:{r['reason']}": r["n"]
+        for r in manifest.groupBy("stage", "reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_out = rows["pack"]
+    complete = n_out + sum(census.values()) == n_in
+
+    # unstaged run: the production shape — one lazy plan, parquet sink
+    tmp = tempfile.mkdtemp(prefix="curatebench_")
+    try:
+        t0 = time.perf_counter()
+        curated2, manifest2 = curate(spark, docs)
+        curated2.write.mode("overwrite").parquet(f"{tmp}/out")
+        manifest2.write.mode("overwrite").parquet(f"{tmp}/manifest")
+        unstaged_sec = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+    _emit(
+        {
+            "metric": "curation_ladder_e2e",
+            "value": unstaged_sec,
+            "unit": "sec",
+            "n_docs_in": n_in,
+            "n_docs_out": n_out,
+            "docs_per_sec": round(n_in / unstaged_sec, 1),
+            "stage_walls_sec": walls,
+            "stage_survivors": rows,
+            "construct_sec_iterative_components": construct_sec,
+            "staged_total_sec": round(sum(walls.values()) + construct_sec, 3),
+            "drop_census": census,
+            "complete_reconciliation": complete,
+            "cpus": int(CPUS),
+            "window": _window_health(load_start),
+        }
+    )
+
+
 def components_chain(sizes: tuple[int, ...] = (2_000, 20_000, 200_000)) -> None:
     """Adversarial-graph components bench (r3 VERDICT #5): min-label
     propagation (+pointer jumping) vs Large-Star/Small-Star on LONG-CHAIN
@@ -678,6 +813,8 @@ if __name__ == "__main__":
         skew_bench(int(sys.argv[2]) if len(sys.argv) > 2 else 120_000)
     elif len(sys.argv) > 1 and sys.argv[1] == "--tier-split":
         tier_split_bench(int(sys.argv[2]) if len(sys.argv) > 2 else 20)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--curate":
+        curate_bench(int(sys.argv[2]) if len(sys.argv) > 2 else 200_000)
     elif len(sys.argv) > 1 and sys.argv[1] == "--components-chain":
         if len(sys.argv) > 2:
             components_chain(tuple(int(x) for x in sys.argv[2:]))
