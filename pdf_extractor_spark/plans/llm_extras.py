@@ -31,6 +31,7 @@ def near_dup_components(
     pairs: DataFrame,
     id_col: str = "doc_id",
     stats: dict | None = None,
+    round_storage_level=None,
 ) -> DataFrame:
     """Connected components over a near-dup pair relation by iterative
     min-label propagation: every node starts as its own component; each round
@@ -127,7 +128,13 @@ def near_dup_components(
         # with zero changes is THE fixed point)
         obs = Observation()
         new = new.observe(obs, F.sum((F.col("comp") != F.col("old_comp")).cast("long")).alias("changed"))
-        new = new.localCheckpoint(eager=True)  # cut the iterative lineage
+        # cut the iterative lineage. round_storage_level=DISK_ONLY is the
+        # memory-envelope knob (bench.py --components-pressure): per-round
+        # checkpoint blocks otherwise accumulate on the heap across rounds
+        # faster than the context cleaner reclaims them — at 10^7 edges and
+        # an 8g driver that OOMs around round 20; disk-backed rounds bound
+        # heap at the cost of one round-relation write+read per iteration
+        new = new.localCheckpoint(eager=True, storageLevel=round_storage_level)
         # sum() over ZERO rows observes NULL, not 0 (empty input previously
         # looped forever here) — an empty relation is trivially converged
         changed = obs.get["changed"] or 0
@@ -164,6 +171,7 @@ def near_dup_components_star(
     pairs: DataFrame,
     id_col: str = "doc_id",
     stats: dict | None = None,
+    round_storage_level=None,
 ) -> DataFrame:
     """Connected components by alternating Large-Star/Small-Star rounds
     (Kiveris et al., 'Connected Components in MapReduce and Beyond'): the
@@ -254,7 +262,8 @@ def near_dup_components_star(
             attach_neighbors.union(attach_self)
             .distinct()
             .observe(obs, F.count(F.lit(1)).alias("n"))
-            .localCheckpoint(eager=True)
+            # round_storage_level: same memory-envelope knob as propagation
+            .localCheckpoint(eager=True, storageLevel=round_storage_level)
         )
         n_new = obs.get["n"]
         converged = False

@@ -85,3 +85,35 @@ def test_kmeans_trained_centroids(emb):
                  nprobe=1, centroids=cents)
     )
     assert 0.0 < _recall(one, truth) < 1.0
+
+
+def test_trained_nprobe2_recall_contract(emb):
+    """r4 VERDICT #4: recall is a CONTRACT, not a bench curve. With
+    kmeans-trained centroids (deterministic seed=42) and nprobe=2 — the
+    documented production operating point — recall@3 must stay >= 0.40
+    (measured 0.450 on this corpus; the 0.05 margin absorbs FP-order
+    jitter in MLlib's distributed aggregation, not semantic regressions —
+    a routing or assignment bug craters recall far below the bound). The
+    corpus is RANDOM embeddings, the adversarial case for IVF: real
+    embedding clusters make every number here strictly better."""
+    from pdf_extractor_spark.operators.similarity import train_centroids_kmeans
+
+    base = as_double(emb).select("vec_id", "e").repartition(8, "vec_id")
+    cents = train_centroids_kmeans(base, N_CENTROIDS, seed=42)
+    truth = _neighbor_sets(_brute_truth(emb))
+    r1 = _recall(
+        _neighbor_sets(
+            ivf_topk(emb, query_ids=QUERIES, k=K, n_centroids=N_CENTROIDS,
+                     nprobe=1, centroids=cents)
+        ),
+        truth,
+    )
+    r2 = _recall(
+        _neighbor_sets(
+            ivf_topk(emb, query_ids=QUERIES, k=K, n_centroids=N_CENTROIDS,
+                     nprobe=2, centroids=cents)
+        ),
+        truth,
+    )
+    assert r2 >= 0.40, r2
+    assert r2 >= r1, (r1, r2)
