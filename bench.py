@@ -667,10 +667,12 @@ def curate_bench(n_docs: int = 200_000) -> None:
     rows: dict[str, int] = {}
 
     def probe(name: str, df):
+        # the survivor count is part of the stage's materialization cost —
+        # recording it outside the wall inflated construct_sec (r5 review)
         t0 = time.perf_counter()
         out = df.localCheckpoint(eager=True)
-        walls[name] = round(time.perf_counter() - t0, 3)
         rows[name] = out.count()
+        walls[name] = round(time.perf_counter() - t0, 3)
         return out
 
     t0 = time.perf_counter()

@@ -54,10 +54,12 @@ def curate(
     bin_offset, is_eval) and manifest carries (doc_id, stage, reason).
 
     ``stage_probe(name, df) -> df``: optional hook called with the surviving
-    relation at each stage boundary; it may materialize (bench.py --curate
-    uses localCheckpoint+timer probes for per-stage wall evidence). Default
-    None keeps the single lazy production plan — probes exist for
-    measurement, not for the production path."""
+    relation at each stage boundary. A provided probe MUST return a
+    materialized (lineage-cut) relation — the ladder then skips its own
+    exact-dedup checkpoint, whose lineage cut the iterative components
+    stage requires (bench.py --curate and --checkpoint-stages both use
+    localCheckpoint probes). Default None keeps the single lazy production
+    plan."""
     from pyspark.sql import functions as F
 
     from pdf_extractor_spark.operators.dedup import minhash_lsh_pairs
@@ -131,9 +133,13 @@ def curate(
     )
     docs = w_hash.where(F.col("doc_id") == F.col("keep_id")).drop("chash", "keep_id")
     docs = probe("exact_dedup", docs)
-    # the pair derivation + components below iterate over this relation;
-    # cut the lineage once instead of re-deriving the filtered input per pass
-    docs = docs.localCheckpoint(eager=True)
+    if stage_probe is None:
+        # the pair derivation + components below iterate over this relation;
+        # cut the lineage once instead of re-deriving the filtered input per
+        # pass. A provided probe MUST materialize (see docstring), so its
+        # barrier already cut the lineage — checkpointing twice would write
+        # the full surviving corpus to block storage back-to-back
+        docs = docs.localCheckpoint(eager=True)
 
     # 4. near-dedup: LSH pairs -> components, keep canonical
     pairs = minhash_lsh_pairs(docs, threshold=0.9, max_bucket=256)

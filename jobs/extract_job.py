@@ -48,6 +48,8 @@ def main() -> None:
         salt = None
     else:
         salt = int(args.salt_partitions)
+        if salt <= 0:
+            p.error("--salt-partitions must be a positive integer, 'auto', or 'off'")
 
     # imports AFTER spark-submit has placed the --py-files zip on sys.path
     from pdf_extractor_spark.operators.lineage import run_incremental, run_key

@@ -101,18 +101,41 @@ def pending_files(spark: SparkSession, input_dir: str, lineage_dir: str) -> Data
     )
 
 
-def _auto_salt(spark: SparkSession, scan) -> int | None:
+def _auto_salt(spark: SparkSession, scan, pend_df: DataFrame) -> int | None:
     """Cheap skew heuristic (r4 VERDICT #5: defense on by default): when the
-    pending scan yields fewer input splits than the session's parallelism —
-    the whale-file pathology, where one huge conversation written as one
-    parquet file serializes extraction on a single task at ANY core count
-    (bench.py --skew) — salt-repartition to full parallelism. The split
-    count is planner metadata (file listing + bin-packing already done for
-    the scan), NOT a data scan; well-split inputs pay nothing and keep
-    their scan-aligned, shuffle-free plan."""
-    splits = scan.rdd.getNumPartitions()
+    PENDING work would yield fewer input splits than the session's
+    parallelism — the whale-file pathology, where one huge conversation
+    written as one parquet file serializes extraction on a single task at
+    ANY core count (bench.py --skew) — salt-repartition to full
+    parallelism. The split estimate must come from the pending SUBSET, not
+    the whole-directory scan: as the table grows, the full scan's split
+    count converges to >= cores and a whole-scan gate silently disables
+    the defense on exactly the incremental runs it targets (round-5 review
+    fix, regression-pinned in tests/test_lineage.py). Pending bytes come
+    from the scan's _metadata.file_size column — file-listing metadata, no
+    data columns read; the estimate mirrors Spark's bin-packing formula
+    (maxPartitionBytes bins + openCostInBytes per file)."""
+    def _bytes_conf(key: str, default: int) -> int:
+        raw = str(spark.conf.get(key, str(default)))
+        digits = "".join(c for c in raw if c.isdigit())
+        return int(digits) if digits else default
+
+    row = (
+        scan.select(
+            F.col("_metadata.file_name").alias("src_key"),
+            F.col("_metadata.file_size").alias("bytes"),
+        )
+        .distinct()
+        .join(F.broadcast(pend_df), "src_key", "left_semi")
+        .agg(F.sum("bytes").alias("b"), F.count(F.lit(1)).alias("n"))
+        .collect()[0]
+    )
+    pending_bytes, n_pending = row["b"] or 0, row["n"] or 0
+    max_pb = _bytes_conf("spark.sql.files.maxPartitionBytes", 134_217_728)
+    open_cost = _bytes_conf("spark.sql.files.openCostInBytes", 4_194_304)
+    est_splits = max(1, -(-(pending_bytes + n_pending * open_cost) // max_pb))
     cores = spark.sparkContext.defaultParallelism
-    return cores if splits < cores else None
+    return cores if est_splits < cores else None
 
 
 def run_incremental(
@@ -151,7 +174,7 @@ def run_incremental(
         F.broadcast(pend_df), "src_key", "left_semi"
     )
     if salt_partitions == "auto":
-        salt_partitions = _auto_salt(spark, scan)
+        salt_partitions = _auto_salt(spark, scan, pend_df)
     cols = transcripts.select("src_key", "conv_id", "turn_idx", "text")
     if salt_partitions:
         from .order import salted

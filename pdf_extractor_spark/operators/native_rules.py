@@ -345,10 +345,7 @@ def _safe_iso(y: Column, m: Column, d: Column) -> Column:
     )
 
 
-_MONTHS = (
-    "January", "February", "March", "April", "May", "June",
-    "July", "August", "September", "October", "November", "December",
-)
+from ..rules.dates import MONTH_NAMES as _MONTHS  # single source of truth
 
 
 def _parse_date(raw: Column) -> Column:

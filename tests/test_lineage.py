@@ -162,3 +162,51 @@ def test_auto_salt_defuses_whale_file(spark, tmp_path):
     assert outs["off"]["files"] == 1  # the pathology: one task wrote everything
     assert outs["auto"]["files"] > 1  # the defense: extraction spread over tasks
     assert outs["off"]["rows"] == outs["auto"]["rows"]  # values untouched
+
+
+def test_auto_salt_fires_on_incremental_whale_after_committed_files(spark, tmp_path):
+    """Round-5 review regression: the auto-salt gate must size the PENDING
+    subset, not the whole directory. With enough small files already
+    committed, a whole-scan split count is >= cores and a whole-scan gate
+    would silently skip the defense when a new whale file lands — exactly
+    the incremental scenario the defense exists for."""
+    import pandas as pd
+
+    cores = spark.sparkContext.defaultParallelism
+    inp, out, lin = (str(tmp_path / d) for d in ("input", "out", "lin"))
+    small = generate_transcripts(n_convs=max(40, 2 * cores), seed=9)
+    spark.createDataFrame(small, schema=TRANSCRIPTS).repartition(
+        2 * cores
+    ).write.parquet(inp)
+    run_incremental(spark, inp, out, lin, run_id="r1")
+
+    n = 4000
+    whale = pd.DataFrame(
+        {
+            "conv_id": ["whale2"] * n,
+            "turn_idx": pd.array(range(n), dtype="int32"),
+            "role": ["user"] * n,
+            "text": [f"MEMO REF {i} late whale {i % 89}.00" for i in range(n)],
+            "tool": [None] * n,
+            "ts": pd.Timestamp("2024-02-01"),
+        }
+    )
+    spark.createDataFrame(whale, schema=TRANSCRIPTS).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    summary = run_incremental(spark, inp, out, lin, run_id="r2")
+    assert summary["files"] == 1 and summary["rows"] == n
+    # the whale's partition dir: the one holding conv_id 'whale2' rows
+    from pyspark.sql import functions as F
+
+    whale_key = (
+        spark.read.parquet(out)
+        .where(F.col("conv_id") == "whale2")
+        .select(F.input_file_name())
+        .first()[0]
+    )
+    import pathlib
+
+    part_dir = pathlib.Path(whale_key.replace("file://", "")).parent
+    n_files = len(list(part_dir.glob("*.parquet")))
+    assert n_files > 1, f"auto-salt skipped on incremental whale ({n_files} file)"
