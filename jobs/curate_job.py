@@ -193,8 +193,9 @@ def main() -> None:
         action="store_true",
         help="materialize each stage boundary (localCheckpoint). The two "
         "sinks (curated + manifest) otherwise share lineage and recompute "
-        "it — measured 64.9s unstaged vs 34.7s staged at 200k docs "
-        "(bench.py --curate). Default OFF: barriers write the full "
+        "it — measured 1.3-1.9x slower unstaged at 200k docs across two "
+        "windows (bench.py --curate artifacts r5_curate_200k_run{1,2}). "
+        "Default OFF: barriers write the full "
         "surviving text per stage, the wrong trade once the corpus "
         "exceeds cluster storage headroom; turn on when recompute is the "
         "scarcer resource.",
