@@ -133,12 +133,17 @@ def curate(
     )
     docs = w_hash.where(F.col("doc_id") == F.col("keep_id")).drop("chash", "keep_id")
     docs = probe("exact_dedup", docs)
-    if stage_probe is None:
-        # the pair derivation + components below iterate over this relation;
-        # cut the lineage once instead of re-deriving the filtered input per
-        # pass. A provided probe MUST materialize (see docstring), so its
-        # barrier already cut the lineage — checkpointing twice would write
-        # the full surviving corpus to block storage back-to-back
+    # the pair derivation + components below iterate over this relation; the
+    # lineage must be cut HERE or every round re-derives the whole ladder.
+    # A materializing probe's barrier already did it (checkpointing twice
+    # would write the full surviving corpus to block storage back-to-back);
+    # the check is structural, not doctrinal: a probe that did NOT leave a
+    # materialized plan (LogicalRDD / InMemoryRelation root) gets the
+    # production checkpoint anyway (round-5 review finding)
+    plan = docs._jdf.queryExecution().optimizedPlan().toString() if stage_probe else ""
+    if stage_probe is None or not any(
+        m in plan for m in ("LogicalRDD", "InMemoryRelation", "ExistingRDD")
+    ):
         docs = docs.localCheckpoint(eager=True)
 
     # 4. near-dedup: LSH pairs -> components, keep canonical

@@ -47,7 +47,10 @@ def main() -> None:
     elif args.salt_partitions in ("off", "none", "0"):
         salt = None
     else:
-        salt = int(args.salt_partitions)
+        try:
+            salt = int(args.salt_partitions)
+        except ValueError:
+            salt = 0
         if salt <= 0:
             p.error("--salt-partitions must be a positive integer, 'auto', or 'off'")
 

@@ -71,11 +71,19 @@ def src_key_col() -> F.Column:
 
 
 def list_input_files(spark: SparkSession, input_dir: str) -> DataFrame:
-    """One row per data file of the input table — the resume work unit."""
+    """One row per data file of the input table — the resume work unit.
+    Carries the file size (listing metadata, no data columns read) so the
+    auto-salt gate can size the pending subset WITHOUT a second pass over
+    the table, and without joining on _metadata.file_name — whose raw
+    spelling differs from input_file_name's URL-encoded one for files with
+    special characters (round-5 review findings #5/#7)."""
     return (
         spark.read.schema(TRANSCRIPTS)
         .parquet(input_dir)
-        .select(src_key_col().alias("src_key"))
+        .select(
+            src_key_col().alias("src_key"),
+            F.col("_metadata.file_size").alias("bytes"),
+        )
         .distinct()
     )
 
@@ -111,30 +119,44 @@ def _auto_salt(spark: SparkSession, scan, pend_df: DataFrame) -> int | None:
     the whole-directory scan: as the table grows, the full scan's split
     count converges to >= cores and a whole-scan gate silently disables
     the defense on exactly the incremental runs it targets (round-5 review
-    fix, regression-pinned in tests/test_lineage.py). Pending bytes come
-    from the scan's _metadata.file_size column — file-listing metadata, no
-    data columns read; the estimate mirrors Spark's bin-packing formula
-    (maxPartitionBytes bins + openCostInBytes per file)."""
-    def _bytes_conf(key: str, default: int) -> int:
-        raw = str(spark.conf.get(key, str(default)))
-        digits = "".join(c for c in raw if c.isdigit())
-        return int(digits) if digits else default
+    fix, regression-pinned in tests/test_lineage.py). Pending bytes ride
+    the listing pass pending_files already makes (no second table scan);
+    the estimate mirrors Spark's FilePartition.maxSplitBytes formula
+    INCLUDING the bytes-per-core clamp, so a well-split many-small-file
+    pending set is not needlessly shuffled. Byte confs are parsed with
+    Spark's own parser ('128m', '1g' forms included — a digits-only parse
+    turned '256m' into 256 BYTES and silently disabled the defense,
+    round-5 review finding #1).
 
-    row = (
-        scan.select(
-            F.col("_metadata.file_name").alias("src_key"),
-            F.col("_metadata.file_size").alias("bytes"),
-        )
-        .distinct()
-        .join(F.broadcast(pend_df), "src_key", "left_semi")
-        .agg(F.sum("bytes").alias("b"), F.count(F.lit(1)).alias("n"))
-        .collect()[0]
-    )
+    Known limit (shared with any split-count gate): a single pending file
+    whose WRITER produced one giant row group estimates as many splits yet
+    still extracts in one task (byte-range splits only yield rows for row
+    groups starting in-range) — file size cannot see row-group geometry.
+    Force ``salt_partitions=N`` for inputs from such writers."""
+    def _bytes_conf(key: str, default: str) -> int:
+        raw = str(spark.conf.get(key, default))
+        try:
+            return int(raw)
+        except ValueError:
+            return int(
+                spark.sparkContext._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+                    raw
+                )
+            )
+
+    row = pend_df.agg(
+        F.sum("bytes").alias("b"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
     pending_bytes, n_pending = row["b"] or 0, row["n"] or 0
-    max_pb = _bytes_conf("spark.sql.files.maxPartitionBytes", 134_217_728)
-    open_cost = _bytes_conf("spark.sql.files.openCostInBytes", 4_194_304)
-    est_splits = max(1, -(-(pending_bytes + n_pending * open_cost) // max_pb))
+    max_pb = _bytes_conf("spark.sql.files.maxPartitionBytes", "134217728")
+    open_cost = _bytes_conf("spark.sql.files.openCostInBytes", "4194304")
     cores = spark.sparkContext.defaultParallelism
+    padded = pending_bytes + n_pending * open_cost
+    # FilePartition.maxSplitBytes: bins shrink when the data is small so the
+    # scan still uses every core — min(maxPartitionBytes, max(openCost,
+    # bytes/defaultParallelism))
+    max_split = min(max_pb, max(open_cost, padded // max(1, cores)))
+    est_splits = max(1, -(-padded // max(1, max_split)))
     return cores if est_splits < cores else None
 
 
